@@ -1,0 +1,85 @@
+"""Brandstetter-style MPNN message-passing layer (reference models/mpnn.py:27-90,
+models/mpnn_2d.py:27-90) plus the time-window-keyed 1D-CNN decoder tables
+(mpnn.py:140-163 / mpnn_2d.py:138-163).
+
+Single-sample layout: nodes (N, C); vmap over batch.  Aggregation is
+gather-table masked mean; normalization is per-graph InstanceNorm
+(segment_instance_norm) as in the reference's ``self.norm(x, batch)``.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from magnet_tpu.nn.core import Linear, swish
+from magnet_tpu.ops.segment import aggregate_mean, segment_instance_norm
+
+
+class MPNNLayer(fnn.Module):
+    """One GNN_Layer: message MLP on (x_i, x_j, u_i-u_j, pos_i-pos_j, vars),
+    update MLP on (x, mean_msg, vars), residual when in==out, then
+    InstanceNorm over the graph's nodes."""
+
+    hidden_features: int
+    out_features: int
+    pos_dim: int = 1  # 1 for 1D, 2 for 2D
+
+    @fnn.compact
+    def __call__(self, x, u, pos, variables, senders, receivers, edge_mask, recv_edge_ids):
+        x_i = jnp.take(x, receivers, axis=0)
+        x_j = jnp.take(x, senders, axis=0)
+        u_i = jnp.take(u, receivers, axis=0)
+        u_j = jnp.take(u, senders, axis=0)
+        p_i = jnp.take(pos, receivers, axis=0)
+        p_j = jnp.take(pos, senders, axis=0)
+        v_i = jnp.take(variables, receivers, axis=0)
+
+        msg = jnp.concatenate([x_i, x_j, u_i - u_j, p_i - p_j, v_i], axis=-1)
+        msg = swish(Linear(self.hidden_features)(msg))
+        msg = swish(Linear(self.hidden_features)(msg))
+
+        agg = aggregate_mean(msg, recv_edge_ids, edge_mask)
+
+        upd = jnp.concatenate([x, agg, variables], axis=-1)
+        upd = swish(Linear(self.hidden_features)(upd))
+        upd = swish(Linear(self.out_features)(upd))
+
+        out = x + upd if x.shape[-1] == self.out_features else upd
+        return segment_instance_norm(out)
+
+
+class TemporalBundlingDecoder(fnn.Module):
+    """The strided Conv1d pair mapping (N, hidden) -> (N, time_window).
+
+    Table keyed on time_window exactly as the reference hand-picks kernel and
+    stride (mpnn.py:140-163).  ``with_mid_swish`` distinguishes the 1D
+    time_window==10 variant (no Swish between convs, mpnn.py:141-143) from
+    the 2D one that has it (mpnn_2d.py:139-142).
+    """
+
+    time_window: int
+    with_mid_swish: bool = True
+
+    # (k1, s1, k2): Conv1d(1->8, k1, stride=s1) [Swish] Conv1d(8->1, k2, 1)
+    TABLE = {
+        10: (16, 6, 10),
+        16: (16, 5, 8),
+        20: (15, 4, 10),
+        25: (16, 3, 14),
+        50: (12, 2, 10),
+    }
+
+    @fnn.compact
+    def __call__(self, h):
+        """h: (N, hidden) -> (N, time_window)."""
+        from magnet_tpu.nn.core import Conv
+
+        k1, s1, k2 = self.TABLE[self.time_window]
+        x = h[..., None]                                   # (N, hidden, 1) as (batch, length, chan)
+        x = Conv(8, (k1,), strides=(s1,), padding="VALID")(x)
+        if self.with_mid_swish:
+            x = swish(x)
+        x = Conv(1, (k2,), strides=(1,), padding="VALID")(x)
+        return x[..., 0]                                   # (N, time_window)

@@ -1,0 +1,184 @@
+"""Host-side graph construction producing fixed-shape padded edge buffers.
+
+TPU-first design: the reference rebuilds `radius_graph` / `knn` on-device
+every step with dynamic edge counts (reference models/magnet_cnn.py:303,
+models/mpnn.py:245, models/magnet_gnn.py:247,293), which cannot be jitted on
+TPU.  Here graphs are built ONCE per sample on the host (mesh coordinates are
+constant over a trajectory), then padded to a static ``E_pad`` so the whole
+training step compiles to a single XLA program.
+
+Two aggregation layouts are produced:
+  * an edge list ``(senders, receivers, edge_mask)`` for edge-wise MLPs, and
+  * a receiver table ``recv_edge_ids (N, K)`` — for every node, the ids of its
+    incoming edges (padded with ``E_pad``).  Aggregation then becomes a pure
+    GATHER + masked reduction, which maps far better onto the TPU memory
+    system than scatter-adds.
+
+Semantics parity with torch_cluster:
+  * ``radius_graph(r, loop, max_num_neighbors=32)``: returns edges (j -> i)
+    for pairs with ``||x_i - x_j|| <= r``; per-target neighbor cap of 32 by
+    default (torch_cluster's hidden default, relied on implicitly by the
+    reference which never passes it); neighbors kept in ascending index
+    order.
+  * ``knn(x, y, k)``: for every query row of ``y``, the ``k`` nearest rows of
+    ``x``, sorted by ascending distance (ties by index).
+
+A native C++ implementation is used when available (magnet_tpu/runtime);
+numpy fallback otherwise.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+try:  # optional native backend
+    from magnet_tpu.runtime import neighbors as _native
+except Exception:  # pragma: no cover
+    _native = None
+
+
+def radius_graph_np(
+    pos: np.ndarray,
+    r: float,
+    loop: bool = False,
+    max_num_neighbors: int = 32,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Single-sample radius graph.
+
+    Args:
+      pos: (N, D) float coordinates.
+      r: connection radius (inclusive).
+      loop: include self loops.
+      max_num_neighbors: per-target cap (torch_cluster default 32).
+
+    Returns:
+      (senders, receivers): int32 arrays of equal length; edge j->i means
+      ``senders[e] = j`` contributes a message to ``receivers[e] = i``.
+    """
+    pos = np.asarray(pos, dtype=np.float64)
+    n = pos.shape[0]
+    if _native is not None:
+        return _native.radius_graph(pos, float(r), bool(loop), int(max_num_neighbors))
+    d2 = ((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+    adj = d2 <= (float(r) ** 2) + 0.0
+    if not loop:
+        np.fill_diagonal(adj, False)
+    senders_l: list[np.ndarray] = []
+    receivers_l: list[np.ndarray] = []
+    for i in range(n):
+        nbr = np.nonzero(adj[i])[0]
+        if len(nbr) > max_num_neighbors:
+            nbr = nbr[:max_num_neighbors]
+        senders_l.append(nbr)
+        receivers_l.append(np.full(len(nbr), i, dtype=np.int64))
+    senders = np.concatenate(senders_l) if senders_l else np.zeros(0, np.int64)
+    receivers = np.concatenate(receivers_l) if receivers_l else np.zeros(0, np.int64)
+    return senders.astype(np.int32), receivers.astype(np.int32)
+
+
+def knn_np(x: np.ndarray, y: np.ndarray, k: int) -> np.ndarray:
+    """For each query in ``y`` (M, D), indices of the k nearest rows of ``x``
+    (N, D), ascending distance.  Returns (M, k) int32."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if _native is not None:
+        return _native.knn(x, y, int(k))
+    d2 = ((y[:, None, :] - x[None, :, :]) ** 2).sum(-1)  # (M, N)
+    k = min(k, x.shape[0])
+    part = np.argpartition(d2, kth=k - 1, axis=1)[:, :k]
+    row = np.arange(y.shape[0])[:, None]
+    order = np.argsort(d2[row, part], axis=1, kind="stable")
+    return part[row, order].astype(np.int32)
+
+
+@dataclasses.dataclass
+class PaddedGraph:
+    """Fixed-shape graph for one sample (or stacked into a batch dim).
+
+    Attributes:
+      senders:       (E,) int32 — source node per edge; padded slots -> 0.
+      receivers:     (E,) int32 — target node per edge; padded slots -> 0.
+      edge_mask:     (E,) float32 — 1 for real edges, 0 for padding.
+      recv_edge_ids: (N, K) int32 — ids of edges whose receiver is the node;
+                     padded slots -> E (a dummy edge id one past the end).
+      n_node:        int — static node count N.
+    """
+
+    senders: np.ndarray
+    receivers: np.ndarray
+    edge_mask: np.ndarray
+    recv_edge_ids: np.ndarray
+    n_node: int
+
+    @property
+    def e_pad(self) -> int:
+        return int(self.senders.shape[0])
+
+    @property
+    def k_max(self) -> int:
+        return int(self.recv_edge_ids.shape[1])
+
+
+def pad_graph(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    n_node: int,
+    e_pad: Optional[int] = None,
+    k_max: Optional[int] = None,
+) -> PaddedGraph:
+    """Pad an edge list to static shapes and build the receiver table."""
+    e = int(senders.shape[0])
+    if e_pad is None:
+        e_pad = e
+    assert e <= e_pad, f"e_pad={e_pad} < num edges {e}"
+    deg = np.bincount(receivers, minlength=n_node) if e else np.zeros(n_node, np.int64)
+    kreq = int(deg.max()) if e else 0
+    if k_max is None:
+        k_max = max(kreq, 1)
+    assert kreq <= k_max, f"k_max={k_max} < max degree {kreq}"
+
+    s = np.zeros(e_pad, np.int32)
+    t = np.zeros(e_pad, np.int32)
+    m = np.zeros(e_pad, np.float32)
+    s[:e] = senders
+    t[:e] = receivers
+    m[:e] = 1.0
+
+    table = np.full((n_node, k_max), e_pad, np.int32)
+    slot = np.zeros(n_node, np.int64)
+    for eid in range(e):
+        i = receivers[eid]
+        table[i, slot[i]] = eid
+        slot[i] += 1
+    return PaddedGraph(s, t, m, table, n_node)
+
+
+def stack_graphs(graphs: Sequence[PaddedGraph]) -> PaddedGraph:
+    """Stack per-sample graphs (equal static shapes) into batched arrays."""
+    return PaddedGraph(
+        senders=np.stack([g.senders for g in graphs]),
+        receivers=np.stack([g.receivers for g in graphs]),
+        edge_mask=np.stack([g.edge_mask for g in graphs]),
+        recv_edge_ids=np.stack([g.recv_edge_ids for g in graphs]),
+        n_node=graphs[0].n_node,
+    )
+
+
+def build_radius_graph_padded(
+    pos: np.ndarray,
+    r: float,
+    loop: bool,
+    e_pad: Optional[int] = None,
+    k_max: Optional[int] = None,
+    max_num_neighbors: int = 32,
+) -> PaddedGraph:
+    """radius graph -> :class:`PaddedGraph` for one sample."""
+    s, t = radius_graph_np(pos, r, loop=loop, max_num_neighbors=max_num_neighbors)
+    return pad_graph(s, t, int(pos.shape[0]), e_pad=e_pad, k_max=k_max)
+
+
+def bucket_e_pad(e: int, granularity: int = 256) -> int:
+    """Round an edge count up to a bucket to bound recompilation."""
+    return max(granularity, ((e + granularity - 1) // granularity) * granularity)

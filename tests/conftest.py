@@ -1,0 +1,17 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Must set XLA flags before jax initializes a backend (SURVEY.md §4: test
+strategy item 3 — exercises DP / graph-partition collectives without a pod).
+"""
+import os
+
+# force CPU even when the ambient env selects a TPU platform: unit tests
+# must be hermetic and fast (the TPU path is exercised by bench.py).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# parity tests compare against torch fp32: keep matmuls in fp32
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")

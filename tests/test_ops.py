@@ -1,0 +1,166 @@
+"""Op-level parity tests: aggregation vs dense reference, interpolation and
+grid sampling vs torch (CPU), graph builders vs brute force."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from magnet_tpu.ops.graph import knn_np, pad_graph, radius_graph_np
+from magnet_tpu.ops.segment import (
+    aggregate_max,
+    aggregate_mean,
+    aggregate_sum,
+    segment_instance_norm,
+)
+from magnet_tpu.ops.interp import (
+    grid_sample_nearest_1d,
+    grid_sample_nearest_2d,
+    interpolate_bilinear_2d,
+    interpolate_linear_1d,
+)
+
+
+def test_radius_graph_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(-1, 1, size=(40, 2))
+    r = 0.5
+    s, t = radius_graph_np(pos, r, loop=False, max_num_neighbors=1000)
+    edges = set(zip(s.tolist(), t.tolist()))
+    for i in range(40):
+        for j in range(40):
+            if i == j:
+                continue
+            d = np.linalg.norm(pos[i] - pos[j])
+            assert ((j, i) in edges) == (d <= r)
+
+
+def test_radius_graph_neighbor_cap():
+    pos = np.zeros((40, 1))  # all identical -> everyone within r
+    s, t = radius_graph_np(pos, 0.1, loop=True, max_num_neighbors=8)
+    deg = np.bincount(t, minlength=40)
+    assert (deg == 8).all()
+
+
+def test_knn_sorted_by_distance():
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, (30, 2))
+    y = rng.uniform(-1, 1, (7, 2))
+    nbr = knn_np(x, y, 4)
+    for qi in range(7):
+        d = np.linalg.norm(x[nbr[qi]] - y[qi], axis=-1)
+        assert (np.diff(d) >= -1e-12).all()
+        full = np.sort(np.linalg.norm(x - y[qi], axis=-1))
+        np.testing.assert_allclose(np.sort(d), full[:4], rtol=1e-12)
+
+
+def _dense_aggregate(msgs, s, t, n, reduce):
+    out = np.zeros((n, msgs.shape[-1]), np.float64)
+    cnt = np.zeros(n)
+    if reduce == "max":
+        out[:] = -np.inf
+    for e in range(len(s)):
+        if reduce == "max":
+            out[t[e]] = np.maximum(out[t[e]], msgs[e])
+        else:
+            out[t[e]] += msgs[e]
+        cnt[t[e]] += 1
+    if reduce == "mean":
+        out = out / np.maximum(cnt, 1)[:, None]
+    if reduce == "max":
+        out[cnt == 0] = 0.0
+    return out
+
+
+@pytest.mark.parametrize("reduce", ["mean", "sum", "max"])
+def test_aggregate_vs_dense(reduce):
+    rng = np.random.default_rng(2)
+    pos = rng.uniform(-1, 1, (25, 1))
+    s, t = radius_graph_np(pos, 0.3, loop=True)
+    g = pad_graph(s, t, 25, e_pad=len(s) + 13)
+    msgs = rng.normal(size=(g.e_pad, 5)).astype(np.float32)
+    fn = {"mean": aggregate_mean, "sum": aggregate_sum, "max": aggregate_max}[reduce]
+    out = fn(jnp.asarray(msgs), jnp.asarray(g.recv_edge_ids), jnp.asarray(g.edge_mask))
+    ref = _dense_aggregate(msgs[: len(s)], s, t, 25, reduce)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_instance_norm_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(17, 6)).astype(np.float32)
+    ours = segment_instance_norm(jnp.asarray(x))
+    # torch instance_norm over a single graph == InstanceNorm1d on (1, C, N)
+    xt = torch.from_numpy(x).T.unsqueeze(0)
+    ref = torch.nn.functional.instance_norm(xt, eps=1e-5)[0].T.numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_interpolate_linear_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 3, 50)).astype(np.float32)
+    for size in [25, 100, 37]:
+        ours = interpolate_linear_1d(jnp.asarray(x), size)
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(x), size=size, mode="linear", align_corners=False
+        ).numpy()
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_interpolate_bilinear_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    for size in [(8, 8), (32, 32), (11, 13)]:
+        ours = interpolate_bilinear_2d(jnp.asarray(x), size)
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(x), size=size, mode="bilinear", align_corners=False
+        ).numpy()
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_grid_sample_nearest_1d_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(6)
+    feat = rng.normal(size=(4, 25)).astype(np.float32)
+    # the coordinates the INR decoder actually uses: grid centers ± dx + 1e-6
+    base = np.linspace(-1, 1, 31).astype(np.float32)
+    gx = np.clip(base + (1.0 / 25) + 1e-6, -1 + 1e-6, 1 - 1e-6).astype(np.float32)
+    ours = grid_sample_nearest_1d(jnp.asarray(feat), jnp.asarray(gx))
+    grid = torch.zeros(1, 1, 31, 2)
+    grid[0, 0, :, 0] = torch.from_numpy(gx)  # x (width) coordinate
+    ref = torch.nn.functional.grid_sample(
+        torch.from_numpy(feat).unsqueeze(0).unsqueeze(2),  # (1, C, 1, L)
+        grid,
+        mode="nearest",
+        padding_mode="border",
+        align_corners=False,
+    )[0, :, 0].T.numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-6)
+
+
+def test_grid_sample_nearest_2d_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(7)
+    feat = rng.normal(size=(3, 12, 12)).astype(np.float32)
+    n = 40
+    coords = rng.uniform(-1.1, 1.1, (n, 2)).astype(np.float32)
+    g0 = np.clip(coords[:, 0] + 1.0 / 12 + 1e-6, -1 + 1e-6, 1 - 1e-6)
+    g1 = np.clip(coords[:, 1] - 1.0 / 12 + 1e-6, -1 + 1e-6, 1 - 1e-6)
+    ours = grid_sample_nearest_2d(
+        jnp.asarray(feat), jnp.asarray(g0), jnp.asarray(g1)
+    )
+    # torch convention: grid[..., 0]=x (W), grid[..., 1]=y (H); reference
+    # flips its (dim0, dim1) coords, so dim0 -> y, dim1 -> x.
+    grid = torch.zeros(1, 1, n, 2)
+    grid[0, 0, :, 0] = torch.from_numpy(g1)
+    grid[0, 0, :, 1] = torch.from_numpy(g0)
+    ref = torch.nn.functional.grid_sample(
+        torch.from_numpy(feat).unsqueeze(0),
+        grid,
+        mode="nearest",
+        padding_mode="border",
+        align_corners=False,
+    )[0, :, 0].T.numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-6)
