@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Headline benchmark: message-passing training throughput (edges/s/chip).
+
+Runs the MAgNet GraphNet processor stack (the #1 hot loop, SURVEY.md §3:
+per-edge gather -> edge MLP -> masked-mean scatter -> node MLP, x mp_steps)
+as a full jitted train step (forward + backward + Adam) on a realistic
+radius-graph workload, and reports processed edge-messages per second.
+
+Prints ONE JSON line:
+  {"metric": "mpnn_train_edges_per_s", "value": N, "unit": "edges/s",
+   "vs_baseline": R}
+vs_baseline compares against bench_baseline.json (recorded first
+measurement) — the reference publishes no numbers (BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import linen as fnn
+
+    from magnet_tpu.models.common import batch_vmap, build_radius_graph_batch
+    from magnet_tpu.nn.graphnet import GraphDecoder, GraphEncoder, GraphProcessor
+    from magnet_tpu.train.optim import make_optimizer
+
+    B = int(os.environ.get("BENCH_B", 4))
+    N = int(os.environ.get("BENCH_N", 2048))
+    LATENT = int(os.environ.get("BENCH_LATENT", 128))
+    MP_STEPS = int(os.environ.get("BENCH_MP", 10))
+    MLP_LAYERS = 2
+    T_IN = 16
+
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(-1, 1, (B, N, 2)).astype(np.float32)
+    # radius for ~20 avg degree before the 32 cap: pi r^2 / 4 * N = 20
+    r = float(np.sqrt(20 * 4 / (np.pi * N)))
+    graph = build_radius_graph_batch(coords, r, loop=True)
+    e_real = float(np.asarray(graph.edge_mask).sum()) / B
+
+    class Net(fnn.Module):
+        @fnn.compact
+        def __call__(self, nf, ef, g):
+            enc = batch_vmap(GraphEncoder, in_axes=(0, 0), node_out=LATENT,
+                             edge_out=LATENT, mlp_layers=MLP_LAYERS,
+                             mlp_hidden=LATENT, name="enc")
+            proc = batch_vmap(GraphProcessor, in_axes=(0, 0, 0, 0, 0, 0),
+                              latent_dim=LATENT, num_steps=MP_STEPS,
+                              mlp_layers=MLP_LAYERS, mlp_hidden=LATENT,
+                              name="proc")
+            dec = batch_vmap(GraphDecoder, in_axes=(0,), node_out=T_IN,
+                             mlp_layers=MLP_LAYERS, mlp_hidden=LATENT,
+                             name="dec")
+            x, e = enc(nf, ef)
+            x, _ = proc(x, e, g.senders, g.receivers, g.edge_mask,
+                        g.recv_edge_ids)
+            return dec(x)
+
+    net = Net()
+    nf = jnp.asarray(rng.normal(size=(B, N, T_IN + 3)).astype(np.float32))
+    E = graph.senders.shape[1]
+    ef = jnp.asarray(rng.normal(size=(B, E, T_IN + 2)).astype(np.float32))
+    target = jnp.asarray(rng.normal(size=(B, N, T_IN)).astype(np.float32))
+
+    params = net.init(jax.random.PRNGKey(0), nf, ef, graph)
+    tx = make_optimizer(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, nf, ef, graph, target):
+        def lfn(p):
+            out = net.apply(p, nf, ef, graph)
+            return jnp.mean(jnp.abs(out - target))
+
+        loss, grads = jax.value_and_grad(lfn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    # warmup/compile
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, nf, ef, graph, target)
+    jax.block_until_ready(loss)
+
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, nf, ef, graph, target)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    edges_per_step = B * e_real * MP_STEPS
+    value = edges_per_step * iters / dt
+
+    base_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    vs = 1.0
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f).get("mpnn_train_edges_per_s")
+        if base:
+            vs = value / base
+    else:
+        with open(base_path, "w") as f:
+            json.dump({"mpnn_train_edges_per_s": value}, f)
+
+    print(json.dumps({
+        "metric": "mpnn_train_edges_per_s",
+        "value": round(value, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

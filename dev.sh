@@ -3,4 +3,5 @@
 # PALLAS_AXON_POOL_IPS).  Use for unit tests and host-side work; anything
 # that needs the real chip must run WITH the ambient env, one process at a
 # time.
+export PYTHONPATH="/root/repo:${PYTHONPATH}"
 exec env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu "$@"

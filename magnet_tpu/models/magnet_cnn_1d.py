@@ -1,0 +1,315 @@
+"""MAgNet[CNN] 1D — the flagship model (reference models/magnet_cnn.py).
+
+Architecture per window (reference magnet_cnn.py:322-381):
+  EDSR feature encoding of the stacked LR frames -> INR continuous decoder at
+  HR query coords -> projector seeds HR values -> GraphNet
+  (encoder/processor/decoder) over LR ∪ HR nodes -> per-node Euler update.
+
+TPU-first deviations from the reference implementation (same math):
+  * the radius graph over LR ∪ HR coords is built ONCE per batch on the host
+    (coords don't change over the rollout) instead of per window on device
+    (reference magnet_cnn.py:296-320 rebuilds identical topology each call);
+  * the rollout over time windows is a ``lax.scan`` with teacher forcing as
+    a traced branch, not a python loop (magnet_cnn.py:411-422);
+  * everything is fixed-shape and jit-compatible.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as fnn
+
+from magnet_tpu.models.common import (
+    Graph,
+    LOSSES,
+    batch_vmap,
+    build_radius_graph_batch,
+    l1_loss,
+    time_windows,
+)
+from magnet_tpu.nn.core import MLP
+from magnet_tpu.nn.edsr import EDSR
+from magnet_tpu.nn.graphnet import GraphDecoder, GraphEncoder, GraphProcessor
+from magnet_tpu.nn.inr import INRDecoder1D
+from magnet_tpu.ops.interp import interpolate_linear_1d
+from magnet_tpu.utils import make_coord
+
+
+class MAgNetCNN1DCore(fnn.Module):
+    """Single-window forward over a batch."""
+
+    time_slice: int = 16
+    latent_dim: int = 32
+    num_message_passing_steps: int = 10
+    mlp_layers: int = 4
+    mlp_hidden: int = 64
+    n_chan: int = 128
+    kernel_size: int = 3
+    res_scale: float = 1.0
+    res_layers: int = 4
+
+    @fnn.compact
+    def __call__(self, x_t, coords, cell, t, hr_last, graph: Graph):
+        """
+        Args:
+          x_t: (B, T, C, L) LR frames, T == time_slice.
+          coords: (B, N, 1) HR query coords; cell: (B, N, 1).
+          t: (B, 2T) time coords for this window.
+          hr_last: (B, N, 1) last known HR values.
+          graph: batched radius graph over the L+N nodes.
+        Returns (out_hr (B,T,N,1), out_lr (B,T,L,1), hr_points (B,T,N,1)).
+        """
+        B, T, C, L = x_t.shape
+        N = coords.shape[1]
+        T_out = t.shape[-1] - T
+
+        # EDSR over feature-last layout
+        xx = x_t.reshape(B, T * C, L).transpose(0, 2, 1)           # (B, L, TC)
+        feat = EDSR(
+            n_chan=self.n_chan,
+            res_layers=self.res_layers,
+            kernel_size=self.kernel_size,
+            res_scale=self.res_scale,
+            ndim=1,
+            name="encoder",
+        )(xx)                                                      # (B, L, Cf)
+        feat_cl = feat.transpose(0, 2, 1)                          # (B, Cf, L)
+
+        inr = batch_vmap(
+            INRDecoder1D,
+            in_axes=(0, 0, 0, 0, 0),
+            n_chan=self.n_chan,
+            mlp_layers=self.mlp_layers,
+            mlp_hidden=self.mlp_hidden,
+            name="continuous_decoder",
+        )
+        z = inr(x_t, feat_cl, cell, coords, t)                     # (B, N, T, nc)
+        hr_points = MLP(
+            [self.mlp_hidden] * self.mlp_layers, 1, name="projector"
+        )(z)                                                       # (B, N, T, 1)
+
+        # node features over LR ∪ HR (reference magnet_cnn.py:345-356)
+        hr_flat = hr_points.reshape(B, N, T * C)
+        lr_flat = x_t.transpose(0, 3, 1, 2).reshape(B, L, T * C)
+        lr_coords = jnp.broadcast_to(make_coord([L])[None], (B, L, 1))
+        all_coords = jnp.concatenate([lr_coords, coords], axis=1)  # (B, L+N, 1)
+        all_feats = jnp.concatenate([lr_flat, hr_flat], axis=1)    # (B, L+N, TC)
+
+        t_last = t[:, T - 1 : T]                                   # (B, 1)
+        node_feats = jnp.concatenate(
+            [
+                all_feats,
+                all_coords,
+                jnp.broadcast_to(t_last[:, None, :], (B, L + N, 1)),
+            ],
+            axis=-1,
+        )                                                          # (B, L+N, T+2)
+
+        def edge_feats_fn(u, x, s, r):
+            du = jnp.take(u, s, axis=0) - jnp.take(u, r, axis=0)
+            dx = jnp.take(x, s, axis=0) - jnp.take(x, r, axis=0)
+            return jnp.concatenate([du, dx], axis=-1)
+
+        edge_feats = jax.vmap(edge_feats_fn)(
+            all_feats, all_coords, graph.senders, graph.receivers
+        )                                                          # (B, E, T+1)
+
+        genc = batch_vmap(
+            GraphEncoder,
+            in_axes=(0, 0),
+            node_out=self.latent_dim,
+            edge_out=self.latent_dim,
+            mlp_layers=self.mlp_layers,
+            mlp_hidden=self.mlp_hidden,
+            name="_encoder",
+        )
+        gproc = batch_vmap(
+            GraphProcessor,
+            in_axes=(0, 0, 0, 0, 0, 0),
+            latent_dim=self.latent_dim,
+            num_steps=self.num_message_passing_steps,
+            mlp_layers=self.mlp_layers,
+            mlp_hidden=self.mlp_hidden,
+            name="_processor",
+        )
+        gdec = batch_vmap(
+            GraphDecoder,
+            in_axes=(0,),
+            node_out=self.time_slice,
+            mlp_layers=self.mlp_layers,
+            mlp_hidden=self.mlp_hidden,
+            name="_decoder",
+        )
+
+        nf, ef = genc(node_feats, edge_feats)
+        nf, _ = gproc(
+            nf, ef, graph.senders, graph.receivers, graph.edge_mask, graph.recv_edge_ids
+        )
+        ret = gdec(nf)                                             # (B, L+N, T_out)
+
+        # Euler updates (reference magnet_cnn.py:364-374)
+        last_values = jnp.concatenate(
+            [x_t[:, -1].transpose(0, 2, 1), hr_last], axis=1
+        )                                                          # (B, L+N, 1)
+        dt = t[:, T:] - t[:, T - 1 : T]                            # (B, T_out)
+        outputs = (
+            last_values[:, None]                                   # (B, 1, L+N, 1)
+            + dt[:, :, None, None] * ret.transpose(0, 2, 1)[..., None]
+        )                                                          # (B, T_out, L+N, 1)
+
+        out_lr = outputs[:, :, :L]
+        out_hr = outputs[:, :, L:]
+        hr_points_t = hr_points.transpose(0, 2, 1, 3)              # (B, T, N, 1)
+        return out_hr, out_lr, hr_points_t
+
+
+class MAgNetCNN1D:
+    """Task wrapper: host graph building + scanned rollout + losses.
+
+    Batch dict (from HDF5DatasetImplicit-equivalent, reference
+    datamodule/dataset.py:126-200): t (B, nt), lr_frames (B, nt, 1, L),
+    hr_points (B, nt, N, 1), coords (B, N, 1), cells (B, N, 1).
+    """
+
+    name = "magnet_cnn"
+    is_2d = False
+
+    def __init__(self, hparams: dict[str, Any]):
+        self.hp = dict(hparams)
+        self.time_slice = int(self.hp.get("time_slice", 16))
+        self.radius = float(self.hp.get("radius", 0.08))
+        self.teacher_forcing = bool(self.hp.get("teacher_forcing", True))
+        self.criterion = LOSSES[self.hp.get("loss", "l1")]
+        self.core = MAgNetCNN1DCore(
+            time_slice=self.time_slice,
+            latent_dim=int(self.hp.get("latent_dim", 32)),
+            num_message_passing_steps=int(self.hp.get("num_message_passing_steps", 10)),
+            mlp_layers=int(self.hp.get("mlp_layers", 4)),
+            mlp_hidden=int(self.hp.get("mlp_hidden", 64)),
+            n_chan=int(self.hp.get("n_chan", 128)),
+            kernel_size=int(self.hp.get("kernel_size", 3)),
+            res_scale=float(self.hp.get("res_scale", 1.0)),
+            res_layers=int(self.hp.get("res_layers", 4)),
+        )
+
+    # ---------- host-side ----------
+    def build_graph(self, batch) -> Graph:
+        coords = np.asarray(batch["coords"])                       # (B, N, 1)
+        L = batch["lr_frames"].shape[-1]
+        lr = make_coord_np_cached(L)
+        all_coords = np.concatenate(
+            [np.broadcast_to(lr[None], (coords.shape[0],) + lr.shape), coords], axis=1
+        )
+        return build_radius_graph_batch(all_coords, self.radius, loop=True)
+
+    def init(self, rng, batch, graph: Graph):
+        ts = self.time_slice
+        x0 = batch["lr_frames"][:, :ts]
+        t0 = batch["t"][:, : 2 * ts]
+        hr0 = batch["hr_points"][:, ts - 1]
+        return self.core.init(
+            rng, x0, batch["coords"], batch["cells"], t0, hr0, graph
+        )
+
+    # ---------- device-side ----------
+    def _rollout(self, params, batch, graph: Graph, teacher_forcing: bool,
+                 val_feedback: bool):
+        ts = self.time_slice
+        u = batch["lr_frames"]                                     # (B, nt, C, L)
+        uv = batch["hr_points"]                                    # (B, nt, N, 1)
+        t = batch["t"]
+        B, nt, C, L = u.shape
+        n_win = (nt - ts) // ts
+
+        u_win = u[:, : (n_win + 1) * ts].reshape(B, n_win + 1, ts, C, L)
+        uv_win = uv[:, : (n_win + 1) * ts].reshape(B, n_win + 1, ts, *uv.shape[2:])
+        t_win = time_windows(t, n_win, ts)                         # (B, n, 2ts)
+
+        def apply_core(inp, hr_last, tw):
+            return self.core.apply(
+                params, inp, batch["coords"], batch["cells"], tw, hr_last, graph
+            )
+
+        def step(carry, xs):
+            inp, hr_last = carry
+            tf_inp, tf_uv_last, tw = xs
+            out_hr, out_lr, hr_pts = apply_core(inp, hr_last, tw)
+            if teacher_forcing:
+                nxt_inp, nxt_hr = tf_inp, tf_uv_last
+            elif val_feedback:
+                # reference magnet_cnn.py:458-459: interpolate HR prediction
+                # back to the LR length as the next input
+                sig = out_hr[..., 0]                               # (B, T, N)
+                nxt_inp = interpolate_linear_1d(sig, L)[:, :, None, :]  # (B,T,1,L)
+                nxt_hr = out_hr[:, -1]
+            else:
+                nxt_inp = out_lr.transpose(0, 1, 3, 2)             # (B, T, 1, L)
+                nxt_hr = out_hr[:, -1]
+            return (nxt_inp, nxt_hr), (out_hr, out_lr, hr_pts)
+
+        xs = (
+            jnp.moveaxis(u_win[:, 1:], 1, 0),                      # (n, B, ts, C, L)
+            jnp.moveaxis(uv_win[:, 1:, -1], 1, 0),                 # (n, B, N, 1)
+            jnp.moveaxis(t_win, 1, 0),                             # (n, B, 2ts)
+        )
+        init = (u_win[:, 0], uv_win[:, 0, -1])
+        _, (hr_seq, lr_seq, pts_seq) = jax.lax.scan(step, init, xs)
+        # (n, B, ts, ...) -> (B, n*ts, ...)
+        def flat(x):
+            return jnp.moveaxis(x, 0, 1).reshape(B, n_win * ts, *x.shape[3:])
+
+        return flat(hr_seq), flat(lr_seq), flat(pts_seq), n_win
+
+    def loss(self, params, batch, graph: Graph, rng=None, train: bool = True):
+        ts = self.time_slice
+        u, uv = batch["lr_frames"], batch["hr_points"]
+        nt = u.shape[1]
+        n_win = (nt - ts) // ts
+        used = (n_win + 1) * ts
+
+        if train:
+            hr_hat, lr_hat, pts_hat, _ = self._rollout(
+                params, batch, graph, self.teacher_forcing, val_feedback=False
+            )
+            y_hat = jnp.concatenate([hr_hat, lr_hat], axis=2)
+            target = jnp.concatenate(
+                [uv[:, ts:used], u[:, ts:used].transpose(0, 1, 3, 2)], axis=2
+            )
+            interp_target = uv[:, : used - ts]
+            loss = self.criterion(y_hat, target) + self.criterion(
+                pts_hat, interp_target
+            )
+            metrics = {
+                "loss": loss,
+                "mae_loss": l1_loss(y_hat, target),
+                "interp_loss": l1_loss(pts_hat, interp_target),
+            }
+            return loss, metrics
+        else:
+            hr_hat, _, _, _ = self._rollout(
+                params, batch, graph, teacher_forcing=False, val_feedback=True
+            )
+            target = uv[:, ts:used]
+            loss = self.criterion(hr_hat, target)
+            return loss, {"loss": loss, "mae_loss": l1_loss(hr_hat, target)}
+
+    def predict(self, params, batch, graph: Graph):
+        """No-teacher-forcing HR rollout (eval / super-resolution)."""
+        hr_hat, lr_hat, _, _ = self._rollout(
+            params, batch, graph, teacher_forcing=False, val_feedback=True
+        )
+        return hr_hat, lr_hat
+
+
+_COORD_CACHE: dict[int, np.ndarray] = {}
+
+
+def make_coord_np_cached(L: int) -> np.ndarray:
+    if L not in _COORD_CACHE:
+        from magnet_tpu.utils import make_coord_np
+
+        _COORD_CACHE[L] = make_coord_np([L])
+    return _COORD_CACHE[L]

@@ -1,0 +1,286 @@
+"""MAgNet[GNN] — fully graph-based flavor for irregular meshes (reference
+models/magnet_gnn.py).
+
+Per window (reference magnet_gnn.py:312-376): first GraphNet pass over the
+LR nodes -> k-NN INR decoder interpolates latents to HR query coords ->
+projector seeds HR values -> second GraphNet pass over LR ∪ HR -> Euler.
+
+TPU-first: both radius graphs and the k-NN table are built once per batch on
+the host (coordinates are rollout-invariant; the reference recomputes
+``radius_graph``/``knn`` inside every forward, magnet_gnn.py:247,293).
+Training noise (magnet_gnn.py:401-426) uses explicit PRNG keys.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as fnn
+
+from magnet_tpu.models.common import (
+    Graph,
+    LOSSES,
+    batch_vmap,
+    build_radius_graph_batch,
+    l1_loss,
+    time_windows,
+)
+from magnet_tpu.nn.core import MLP
+from magnet_tpu.nn.graphnet import GraphDecoder, GraphEncoder, GraphProcessor
+from magnet_tpu.nn.inr import KNNDecoder
+from magnet_tpu.ops.graph import knn_np
+
+
+class MAgNetGNNCore(fnn.Module):
+    time_slice: int = 25
+    latent_dim: int = 128
+    num_message_passing_steps: int = 5
+    mlp_layers: int = 4
+    mlp_hidden: int = 128
+    n_chan: int = 128
+    codec_neighbors: int = 4
+    interpolation: str = "area"
+
+    @fnn.compact
+    def __call__(self, x_lr, lr_coords, hr_coords, t, hr_last,
+                 graph_lr: Graph, graph_all: Graph, nbr_idx):
+        """
+        Args:
+          x_lr: (B, T, C, L) LR frames.
+          lr_coords: (B, L, P); hr_coords: (B, N, P).
+          t: (B, 2T); hr_last: (B, N, 1).
+          graph_lr: radius graph over the L LR nodes.
+          graph_all: radius graph over the L+N combined nodes.
+          nbr_idx: (B, N, k) k-NN of each HR coord among LR coords.
+        Returns (out_hr (B,T,N,1), out_lr (B,T,L,1), hr_points (B,T,N,1)).
+        """
+        B, T, C, L = x_lr.shape
+        N = hr_coords.shape[1]
+        T_out = t.shape[-1] - T
+
+        def node_edge_feats(u, x, tl, g: Graph):
+            nf = jnp.concatenate(
+                [u, x, jnp.broadcast_to(tl[:, None, :], (B, u.shape[1], 1))],
+                axis=-1,
+            )
+
+            def ef(u1, x1, s, r):
+                du = jnp.take(u1, s, axis=0) - jnp.take(u1, r, axis=0)
+                dx = jnp.take(x1, s, axis=0) - jnp.take(x1, r, axis=0)
+                return jnp.concatenate([du, dx], axis=-1)
+
+            return nf, jax.vmap(ef)(u, x, g.senders, g.receivers)
+
+        t_last = t[:, T - 1 : T]
+
+        # ---- first pass over LR nodes (magnet_gnn.py:330-335)
+        u_lr = x_lr.transpose(0, 3, 1, 2).reshape(B, L, T * C)
+        nf, ef = node_edge_feats(u_lr, lr_coords, t_last, graph_lr)
+        enc = batch_vmap(
+            GraphEncoder, in_axes=(0, 0),
+            node_out=self.latent_dim, edge_out=self.latent_dim,
+            mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
+            name="encoder",
+        )
+        proc = batch_vmap(
+            GraphProcessor, in_axes=(0, 0, 0, 0, 0, 0),
+            latent_dim=self.latent_dim, num_steps=self.num_message_passing_steps,
+            mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
+            name="processor",
+        )
+        nf, ef = enc(nf, ef)
+        lr_encoded, _ = proc(
+            nf, ef, graph_lr.senders, graph_lr.receivers,
+            graph_lr.edge_mask, graph_lr.recv_edge_ids,
+        )                                                     # (B, L, latent)
+
+        # ---- k-NN INR decode (magnet_gnn.py:224-283)
+        dec = batch_vmap(
+            KNNDecoder, in_axes=(0, 0, 0, 0, 0, 0),
+            n_chan=self.n_chan, codec_neighbors=self.codec_neighbors,
+            interpolation=self.interpolation, name="continuous_decoder",
+        )
+        z = dec(x_lr, lr_encoded, lr_coords, hr_coords, t, nbr_idx)  # (B,N,T,nc)
+        hr_points = MLP(
+            [self.mlp_hidden] * self.mlp_layers, 1, name="projector"
+        )(z)                                                  # (B, N, T, 1)
+
+        # ---- second pass over LR ∪ HR (magnet_gnn.py:341-356)
+        hr_flat = hr_points.reshape(B, N, T * C)
+        all_coords = jnp.concatenate([lr_coords, hr_coords], axis=1)
+        all_feats = jnp.concatenate([u_lr, hr_flat], axis=1)
+        nf, ef = node_edge_feats(all_feats, all_coords, t_last, graph_all)
+        enc2 = batch_vmap(
+            GraphEncoder, in_axes=(0, 0),
+            node_out=self.latent_dim, edge_out=self.latent_dim,
+            mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
+            name="_encoder",
+        )
+        proc2 = batch_vmap(
+            GraphProcessor, in_axes=(0, 0, 0, 0, 0, 0),
+            latent_dim=self.latent_dim, num_steps=self.num_message_passing_steps,
+            mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
+            name="_processor",
+        )
+        gdec = batch_vmap(
+            GraphDecoder, in_axes=(0,),
+            node_out=self.time_slice, mlp_layers=self.mlp_layers,
+            mlp_hidden=self.mlp_hidden, name="_decoder",
+        )
+        nf, ef = enc2(nf, ef)
+        nf, _ = proc2(
+            nf, ef, graph_all.senders, graph_all.receivers,
+            graph_all.edge_mask, graph_all.recv_edge_ids,
+        )
+        ret = gdec(nf)                                        # (B, L+N, T_out)
+
+        # ---- Euler (magnet_gnn.py:359-369)
+        last_values = jnp.concatenate(
+            [x_lr[:, -1].transpose(0, 2, 1), hr_last], axis=1
+        )                                                     # (B, L+N, 1)
+        dt = t[:, T:] - t[:, T - 1 : T]                       # (B, T_out)
+        outputs = (
+            last_values[:, None] + dt[:, :, None, None] * ret.transpose(0, 2, 1)[..., None]
+        )                                                     # (B, T_out, L+N, 1)
+
+        out_lr = outputs[:, :, :L]
+        out_hr = outputs[:, :, L:]
+        return out_hr, out_lr, hr_points.transpose(0, 2, 1, 3)
+
+
+class MAgNetGNN:
+    """Task wrapper.  Batch (DatasetImplicitGNN*): t (B, nt),
+    lr_frames (B, nt, 1, L), hr_points (B, nt, N, 1), coords_hr (B, N, P),
+    coords_lr (B, L, P)."""
+
+    name = "magnet_gnn"
+    is_2d = False  # works for both; P inferred from coords
+
+    def __init__(self, hparams: dict[str, Any]):
+        self.hp = dict(hparams)
+        self.time_slice = int(self.hp.get("time_slice", 25))
+        self.radius = float(self.hp.get("radius", 0.08))
+        self.teacher_forcing = bool(self.hp.get("teacher_forcing", True))
+        self.noise = float(self.hp.get("noise", 0.0))
+        self.criterion = LOSSES[self.hp.get("loss", "l1")]
+        self.codec_neighbors = int(self.hp.get("codec_neighbors", 4))
+        self.core = MAgNetGNNCore(
+            time_slice=self.time_slice,
+            latent_dim=int(self.hp.get("latent_dim", 128)),
+            num_message_passing_steps=int(self.hp.get("num_message_passing_steps", 5)),
+            mlp_layers=int(self.hp.get("mlp_layers", 4)),
+            mlp_hidden=int(self.hp.get("mlp_hidden", 128)),
+            n_chan=int(self.hp.get("n_chan", 128)),
+            codec_neighbors=self.codec_neighbors,
+            interpolation=self.hp.get("interpolation", "area"),
+        )
+
+    # ---------- host-side ----------
+    def build_graph(self, batch):
+        lr = np.asarray(batch["coords_lr"])                   # (B, L, P)
+        hr = np.asarray(batch["coords_hr"])                   # (B, N, P)
+        graph_lr = build_radius_graph_batch(lr, self.radius, loop=True)
+        allc = np.concatenate([lr, hr], axis=1)
+        graph_all = build_radius_graph_batch(allc, self.radius, loop=True)
+        nbr = np.stack(
+            [knn_np(lr[b], hr[b], self.codec_neighbors) for b in range(lr.shape[0])]
+        )
+        return (graph_lr, graph_all, jnp.asarray(nbr))
+
+    def init(self, rng, batch, graph):
+        g_lr, g_all, nbr = graph
+        ts = self.time_slice
+        return self.core.init(
+            rng,
+            batch["lr_frames"][:, :ts],
+            batch["coords_lr"],
+            batch["coords_hr"],
+            batch["t"][:, : 2 * ts],
+            batch["hr_points"][:, ts - 1],
+            g_lr, g_all, nbr,
+        )
+
+    # ---------- device-side ----------
+    def _rollout(self, params, batch, graph, teacher_forcing: bool, rng):
+        g_lr, g_all, nbr = graph
+        ts = self.time_slice
+        u = batch["lr_frames"]                                # (B, nt, C, L)
+        uv = batch["hr_points"]                               # (B, nt, N, 1)
+        t = batch["t"]
+        B, nt, C, L = u.shape
+        n_win = (nt - ts) // ts
+
+        u_win = u[:, : (n_win + 1) * ts].reshape(B, n_win + 1, ts, C, L)
+        uv_win = uv[:, : (n_win + 1) * ts].reshape(B, n_win + 1, ts, *uv.shape[2:])
+        t_win = time_windows(t, n_win, ts)
+
+        use_noise = self.noise > 0 and rng is not None
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        def add_noise(key, x):
+            return x + self.noise * jax.random.normal(key, x.shape)
+
+        def step(carry, xs):
+            inp, hr_last, key = carry
+            tf_inp, tf_uv_last, tw = xs
+            if use_noise:
+                key, k1, k2 = jax.random.split(key, 3)
+                inp = add_noise(k1, inp)
+                hr_last = add_noise(k2, hr_last)
+            out_hr, out_lr, hr_pts = self.core.apply(
+                params, inp, batch["coords_lr"], batch["coords_hr"], tw,
+                hr_last, g_lr, g_all, nbr,
+            )
+            if teacher_forcing:
+                nxt_inp, nxt_hr = tf_inp, tf_uv_last
+            else:
+                nxt_inp = out_lr.transpose(0, 1, 3, 2)
+                nxt_hr = out_hr[:, -1]
+            return (nxt_inp, nxt_hr, key), (out_hr, out_lr, hr_pts)
+
+        xs = (
+            jnp.moveaxis(u_win[:, 1:], 1, 0),
+            jnp.moveaxis(uv_win[:, 1:, -1], 1, 0),
+            jnp.moveaxis(t_win, 1, 0),
+        )
+        init = (u_win[:, 0], uv_win[:, 0, -1], rng)
+        _, (hr_seq, lr_seq, pts_seq) = jax.lax.scan(step, init, xs)
+
+        def flat(x):
+            return jnp.moveaxis(x, 0, 1).reshape(B, n_win * ts, *x.shape[3:])
+
+        return flat(hr_seq), flat(lr_seq), flat(pts_seq), n_win
+
+    def loss(self, params, batch, graph, rng=None, train: bool = True):
+        ts = self.time_slice
+        u, uv = batch["lr_frames"], batch["hr_points"]
+        nt = u.shape[1]
+        n_win = (nt - ts) // ts
+        used = (n_win + 1) * ts
+
+        tf_flag = self.teacher_forcing if train else False
+        hr_hat, lr_hat, pts_hat, _ = self._rollout(
+            params, batch, graph, tf_flag, rng if train else None
+        )
+        y_hat = jnp.concatenate([hr_hat, lr_hat], axis=2)
+        target = jnp.concatenate(
+            [uv[:, ts:used], u[:, ts:used].transpose(0, 1, 3, 2)], axis=2
+        )
+        loss = self.criterion(y_hat, target)
+        metrics = {"loss": loss, "mae_loss": l1_loss(y_hat, target)}
+        if train:
+            interp_target = uv[:, : used - ts]
+            interp = self.criterion(pts_hat, interp_target)
+            loss = loss + interp
+            metrics["loss"] = loss
+            metrics["interp_loss"] = l1_loss(pts_hat, interp_target)
+        return loss, metrics
+
+    def predict(self, params, batch, graph):
+        hr_hat, lr_hat, _, _ = self._rollout(
+            params, batch, graph, teacher_forcing=False, rng=None
+        )
+        return hr_hat, lr_hat

@@ -46,7 +46,10 @@ class GraphEncoder(fnn.Module):
 class InteractionNetwork(fnn.Module):
     """One message-passing step (reference magnet_cnn.py:46-93).
 
-    x: (N, C), e: (E, C); returns (x', e') with residuals.
+    x: (N, C), e: (E, C); returns (x', e') with residuals.  The edge and
+    node MLPs are exposed as methods so the edge-partitioned parallel
+    processor (magnet_tpu/parallel/graph_partition.py) can drive them
+    directly inside shard_map.
     """
 
     node_out: int
@@ -54,24 +57,56 @@ class InteractionNetwork(fnn.Module):
     mlp_layers: int
     mlp_hidden: int
 
-    @fnn.compact
+    def setup(self):
+        self.edge_fn = fnn.Sequential(
+            [MLP([self.mlp_hidden] * self.mlp_layers, self.edge_out), LayerNorm()]
+        )
+        self.node_fn = fnn.Sequential(
+            [MLP([self.mlp_hidden] * self.mlp_layers, self.node_out), LayerNorm()]
+        )
+
+    def edge_mlp(self, msg_in):
+        return self.edge_fn(msg_in)
+
+    def node_mlp(self, upd_in):
+        return self.node_fn(upd_in)
+
     def __call__(self, x, e, senders, receivers, edge_mask, recv_edge_ids):
         x_i = jnp.take(x, receivers, axis=0)
         x_j = jnp.take(x, senders, axis=0)
-        msg = jnp.concatenate([x_i, x_j, e], axis=-1)
-        msg = MLP([self.mlp_hidden] * self.mlp_layers, self.edge_out)(msg)
-        msg = LayerNorm()(msg)
+        msg = self.edge_fn(jnp.concatenate([x_i, x_j, e], axis=-1))
         agg = aggregate_mean(msg, recv_edge_ids, edge_mask)      # (N, C)
-        upd = jnp.concatenate([agg, x], axis=-1)
-        upd = MLP([self.mlp_hidden] * self.mlp_layers, self.node_out)(upd)
-        upd = LayerNorm()(upd)
+        upd = self.node_fn(jnp.concatenate([agg, x], axis=-1))
         # residuals; the edge return is e + e (PyG update-arg quirk, see
         # module docstring) — NOT msg + e.
         return x + upd, e + e
 
 
+class _ProcStep(fnn.Module):
+    latent_dim: int
+    mlp_layers: int
+    mlp_hidden: int
+
+    @fnn.compact
+    def __call__(self, carry, _):
+        x, e, s, r, m, t = carry
+        x, e = InteractionNetwork(
+            node_out=self.latent_dim,
+            edge_out=self.latent_dim,
+            mlp_layers=self.mlp_layers,
+            mlp_hidden=self.mlp_hidden,
+            name="step",
+        )(x, e, s, r, m, t)
+        return (x, e, s, r, m, t), None
+
+
 class GraphProcessor(fnn.Module):
-    """Stack of InteractionNetworks (reference magnet_cnn.py:95-120)."""
+    """Stack of InteractionNetworks (reference magnet_cnn.py:95-120).
+
+    Realized as a ``lax.scan`` over stacked per-step parameters
+    (variable_axes={'params': 0}) — same math as the reference's
+    ModuleList loop, but the trace/compile cost is one step instead of
+    ``num_steps`` (the reference stacks up to 10, magnet_cnn.yaml)."""
 
     latent_dim: int
     num_steps: int
@@ -80,13 +115,13 @@ class GraphProcessor(fnn.Module):
 
     @fnn.compact
     def __call__(self, x, e, senders, receivers, edge_mask, recv_edge_ids):
-        for _ in range(self.num_steps):
-            x, e = InteractionNetwork(
-                node_out=self.latent_dim,
-                edge_out=self.latent_dim,
-                mlp_layers=self.mlp_layers,
-                mlp_hidden=self.mlp_hidden,
-            )(x, e, senders, receivers, edge_mask, recv_edge_ids)
+        scan = fnn.scan(
+            _ProcStep,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.num_steps,
+        )(self.latent_dim, self.mlp_layers, self.mlp_hidden, name="steps")
+        (x, e, *_), _ = scan((x, e, senders, receivers, edge_mask, recv_edge_ids), None)
         return x, e
 
 

@@ -74,19 +74,15 @@ class LSTM(fnn.Module):
         return seq, (jnp.stack(hs), jnp.stack(cs))
 
 
-class AttnSeq2Seq(fnn.Module):
-    """Encoder LSTM + attention decoder LSTM (reference
-    magnet_cnn_no_interaction.py:84-113): alignment MLP over
-    (h_last, c_last, encoder_states), softmax over time, context concat to
-    the decoder input, autoregressive for ``future_step`` steps."""
+class _AttnDecStep(fnn.Module):
+    """One attention-decoder step; scanned over future steps."""
 
     hidden: int
     num_layers: int
 
     @fnn.compact
-    def __call__(self, x, future_step: int, state=None):
-        enc = LSTM(self.hidden, self.num_layers, name="lstm_encoder")
-        dec = LSTM(self.hidden, self.num_layers, name="lstm_decoder")
+    def __call__(self, carry, _):
+        inp, hidden, encoder_states = carry
         attn_1 = Linear(self.hidden, name="attn_1")
         attn_2 = fnn.Dense(
             1,
@@ -94,19 +90,43 @@ class AttnSeq2Seq(fnn.Module):
             kernel_init=fnn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
             name="attn_2",
         )
+        dec = LSTM(self.hidden, self.num_layers, name="lstm_decoder")
 
+        h, c = hidden
+        hc = jnp.concatenate([h[-1], c[-1]], axis=-1)        # (2H,)
+        hc = jnp.broadcast_to(
+            hc[None, :], (encoder_states.shape[0], 2 * self.hidden)
+        )
+        scores = attn_2(jnp.tanh(attn_1(jnp.concatenate([hc, encoder_states], -1))))
+        weights = jax.nn.softmax(scores[:, 0], axis=0)       # (T,)
+        context = weights @ encoder_states                   # (H,)
+        dec_in = jnp.concatenate([inp, context[None, :]], axis=-1)  # (1, 2H)
+        out, hidden = dec(dec_in, hidden)
+        return (out, hidden, encoder_states), out[0]
+
+
+class AttnSeq2Seq(fnn.Module):
+    """Encoder LSTM + attention decoder LSTM (reference
+    magnet_cnn_no_interaction.py:84-113): alignment MLP over
+    (h_last, c_last, encoder_states), softmax over time, context concat to
+    the decoder input, autoregressive for ``future_step`` steps (as a
+    ``lax.scan`` — the reference's python loop, no_interaction.py:108-111,
+    would unroll the trace)."""
+
+    hidden: int
+    num_layers: int
+
+    @fnn.compact
+    def __call__(self, x, future_step: int, state=None):
+        enc = LSTM(self.hidden, self.num_layers, name="lstm_encoder")
         encoder_states, hidden = enc(x, state)               # (T, H)
         inp = encoder_states[-1:]                            # (1, H)
-        outs = []
-        for _ in range(future_step):
-            h, c = hidden
-            hc = jnp.concatenate([h[-1], c[-1]], axis=-1)    # (2H,)
-            hc = jnp.broadcast_to(hc[None, :], (encoder_states.shape[0], 2 * self.hidden))
-            scores = attn_2(jnp.tanh(attn_1(jnp.concatenate([hc, encoder_states], -1))))
-            weights = jax.nn.softmax(scores[:, 0], axis=0)   # (T,)
-            context = weights @ encoder_states               # (H,)
-            dec_in = jnp.concatenate([inp, context[None, :]], axis=-1)  # (1, 2H)
-            out, hidden = dec(dec_in, hidden)
-            outs.append(out)
-            inp = out
-        return jnp.concatenate(outs, axis=0), hidden         # (future_step, H)
+
+        scan = fnn.scan(
+            _AttnDecStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=future_step,
+        )(self.hidden, self.num_layers, name="att_decoder")
+        (inp, hidden, _), outs = scan((inp, hidden, encoder_states), None)
+        return outs, hidden                                  # (future_step, H)

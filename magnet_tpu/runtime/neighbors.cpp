@@ -1,0 +1,164 @@
+// Native neighbor-search runtime: grid-bucketed radius graph + k-NN.
+//
+// The TPU-side framework consumes fixed-shape padded edge buffers built on
+// the host (magnet_tpu/ops/graph.py); for large meshes (256^2 = 65k nodes,
+// SURVEY.md §2.3) the O(N^2) numpy fallback dominates step time, so this
+// C++ library provides the production path (the role torch_cluster's CUDA
+// kernels play for the reference — here the graph build belongs on the
+// host, overlapped with TPU compute by the prefetch thread).
+//
+// Semantics match torch_cluster (and ops/graph.py):
+//   * radius_graph: edges j->i for ||x_i - x_j|| <= r, optional self loops,
+//     per-target cap max_num_neighbors keeping the LOWEST-index neighbors,
+//     ascending index order per target.
+//   * knn: for each query, k nearest (ascending distance, ties by index).
+//
+// Build: make -C magnet_tpu/runtime   (g++ -O3 -shared -fPIC)
+// Python binding: ctypes (magnet_tpu/runtime/neighbors.py).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct CellKey {
+    int64_t k;
+    bool operator==(const CellKey& o) const { return k == o.k; }
+};
+
+struct CellHash {
+    size_t operator()(const CellKey& c) const {
+        return std::hash<int64_t>()(c.k);
+    }
+};
+
+// pack up to 3 signed 20-bit cell coords into one int64
+inline int64_t pack(const int* c, int d) {
+    int64_t k = 0;
+    for (int i = 0; i < d; ++i) {
+        k = (k << 21) | ((int64_t)(c[i] + (1 << 19)) & 0x1FFFFF);
+    }
+    return k;
+}
+
+struct Grid {
+    double cell;
+    int d;
+    std::unordered_map<CellKey, std::vector<int>, CellHash> cells;
+
+    Grid(const double* pts, int n, int d_, double cell_) : cell(cell_), d(d_) {
+        cells.reserve(n * 2);
+        int c[3];
+        for (int i = 0; i < n; ++i) {
+            for (int j = 0; j < d; ++j)
+                c[j] = (int)std::floor(pts[i * d + j] / cell);
+            cells[{pack(c, d)}].push_back(i);
+        }
+    }
+
+    template <typename F>
+    void for_neighbors(const double* q, F&& fn) const {
+        int base[3], c[3];
+        for (int j = 0; j < d; ++j) base[j] = (int)std::floor(q[j] / cell);
+        int span = 1;
+        int total = 1;
+        for (int j = 0; j < d; ++j) total *= (2 * span + 1);
+        for (int it = 0; it < total; ++it) {
+            int rem = it;
+            for (int j = 0; j < d; ++j) {
+                c[j] = base[j] + (rem % (2 * span + 1)) - span;
+                rem /= (2 * span + 1);
+            }
+            auto found = cells.find({pack(c, d)});
+            if (found != cells.end())
+                for (int idx : found->second) fn(idx);
+        }
+    }
+};
+
+inline double dist2(const double* a, const double* b, int d) {
+    double s = 0;
+    for (int j = 0; j < d; ++j) {
+        double t = a[j] - b[j];
+        s += t * t;
+    }
+    return s;
+}
+
+void parallel_for(int n, const std::function<void(int, int)>& body) {
+    unsigned hw = std::thread::hardware_concurrency();
+    int nt = std::max(1u, std::min(hw, 16u));
+    if (n < 1024) nt = 1;
+    std::vector<std::thread> ts;
+    int chunk = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+        int lo = t * chunk, hi = std::min(n, lo + chunk);
+        if (lo >= hi) break;
+        ts.emplace_back([=, &body] { body(lo, hi); });
+    }
+    for (auto& th : ts) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Counts edges and fills (senders, receivers) up to capacity; returns the
+// true edge count (call twice or size generously: n * max_num_neighbors).
+int64_t mt_radius_graph(const double* pos, int n, int d, double r, int loop,
+                        int max_num_neighbors, int32_t* senders,
+                        int32_t* receivers, int64_t capacity) {
+    Grid grid(pos, n, d, r);
+    double r2 = r * r;
+    std::vector<std::vector<int>> nbrs(n);
+    parallel_for(n, [&](int lo, int hi) {
+        std::vector<int> cand;
+        for (int i = lo; i < hi; ++i) {
+            cand.clear();
+            grid.for_neighbors(pos + (int64_t)i * d, [&](int j) {
+                if (!loop && j == i) return;
+                if (dist2(pos + (int64_t)i * d, pos + (int64_t)j * d, d) <= r2)
+                    cand.push_back(j);
+            });
+            std::sort(cand.begin(), cand.end());
+            if ((int)cand.size() > max_num_neighbors)
+                cand.resize(max_num_neighbors);
+            nbrs[i] = cand;
+        }
+    });
+    int64_t e = 0;
+    for (int i = 0; i < n; ++i) {
+        for (int j : nbrs[i]) {
+            if (e < capacity) {
+                senders[e] = j;
+                receivers[e] = i;
+            }
+            ++e;
+        }
+    }
+    return e;
+}
+
+// k nearest rows of x for each row of y; out shape (ny, k), ascending
+// distance (ties by index).  k must be <= nx.
+void mt_knn(const double* x, int nx, const double* y, int ny, int d, int k,
+            int32_t* out) {
+    // brute force with partial sort; grid pruning unnecessary at these sizes
+    parallel_for(ny, [&](int lo, int hi) {
+        std::vector<std::pair<double, int>> dists(nx);
+        for (int q = lo; q < hi; ++q) {
+            for (int i = 0; i < nx; ++i)
+                dists[i] = {dist2(y + (int64_t)q * d, x + (int64_t)i * d, d), i};
+            std::partial_sort(dists.begin(), dists.begin() + k, dists.end());
+            for (int j = 0; j < k; ++j) out[(int64_t)q * k + j] = dists[j].second;
+        }
+    });
+}
+
+}  // extern "C"

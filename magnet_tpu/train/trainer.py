@@ -1,0 +1,221 @@
+"""Training engine: jitted train/val steps, epoch loop, early stopping,
+checkpointing, metric logging, optional data parallelism over a device mesh.
+
+The reference delegates all of this to PyTorch-Lightning (run.py:52); the
+TPU rebuild supplies its own engine (SURVEY.md §1 "no custom runtime in the
+repo").  Design: the model wrapper exposes pure ``loss(params, batch, graph,
+rng, train)``; the trainer jits one step that fuses loss+grad+optimizer
+update (donated state), shards the batch over the ``dp`` mesh axis, and
+lets jit insert the gradient psum.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from magnet_tpu.train.checkpoint import CheckpointManager, load_checkpoint
+from magnet_tpu.train.optim import make_optimizer
+from magnet_tpu.utils import get_logger
+
+log = get_logger("magnet_tpu.trainer")
+
+
+def _to_device(tree, sharding=None):
+    if sharding is None:
+        return jax.tree.map(jnp.asarray, tree)
+    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding), tree)
+
+
+class EarlyStopping:
+    def __init__(self, patience: int = 35, min_delta: float = 0.0):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best = float("inf")
+        self.count = 0
+
+    def update(self, value: float) -> bool:
+        """Returns True when training should stop."""
+        if value < self.best - self.min_delta:
+            self.best = value
+            self.count = 0
+        else:
+            self.count += 1
+        return self.count >= self.patience
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        max_epochs: int = 100,
+        lr: float = 1e-3,
+        weight_decay: float = 0.0,
+        factor: float = 0.3,
+        step_size: int = 50,
+        patience: int = 35,
+        workdir: str = "runs/default",
+        seed: int = 42,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        log_every: int = 10,
+        check_val_every: int = 1,
+    ):
+        self.model = model
+        self.max_epochs = max_epochs
+        self.lr = lr
+        self.weight_decay = weight_decay
+        self.factor = factor
+        self.step_size = step_size
+        self.workdir = workdir
+        self.seed = seed
+        self.mesh = mesh
+        self.log_every = log_every
+        self.check_val_every = check_val_every
+        self.ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
+        self.early = EarlyStopping(patience=patience)
+        os.makedirs(workdir, exist_ok=True)
+        self._metrics_f = open(os.path.join(workdir, "metrics.jsonl"), "a")
+        self._tx = None
+        self.state: dict[str, Any] = {}
+        self._data_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._data_sharding = NamedSharding(mesh, P("dp"))
+            self._rep_sharding = NamedSharding(mesh, P())
+
+    # ------------------------------------------------------------------
+    def _build_steps(self, steps_per_epoch: int):
+        self._tx = make_optimizer(
+            self.lr, self.weight_decay, self.factor, self.step_size,
+            steps_per_epoch,
+        )
+        model = self.model
+
+        def train_step(params, opt_state, batch, graph, rng):
+            def lfn(p):
+                return model.loss(p, batch, graph, rng=rng, train=True)
+
+            (loss, metrics), grads = jax.value_and_grad(lfn, has_aux=True)(params)
+            updates, opt_state = self._tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        def val_step(params, batch, graph):
+            _, metrics = model.loss(params, batch, graph, train=False)
+            return metrics
+
+        donate = (0, 1)
+        self._train_step = jax.jit(train_step, donate_argnums=donate)
+        self._val_step = jax.jit(val_step)
+
+    def _put(self, batch, graph):
+        jb = {k: v for k, v in batch.items()}
+        if self._data_sharding is not None:
+            jb = _to_device(jb, self._data_sharding)
+            graph = _to_device(graph, self._data_sharding) if graph is not None else None
+        else:
+            jb = _to_device(jb)
+        return jb, graph
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        train_loader: Iterable,
+        val_loader: Optional[Iterable] = None,
+        resume: Optional[str] = None,
+    ):
+        rng = jax.random.PRNGKey(self.seed)
+        steps_per_epoch = len(train_loader)
+        self._build_steps(steps_per_epoch)
+
+        # init from first batch
+        train_loader.set_epoch(0)
+        it = iter(train_loader)
+        first = next(it)
+        graph0 = self.model.build_graph(first)
+        jb0, g0 = self._put(first, graph0)
+        rng, init_rng = jax.random.split(rng)
+        params = self.model.init(init_rng, jb0, g0)
+        opt_state = self._tx.init(params)
+        start_epoch = 0
+        if resume:
+            state, meta = load_checkpoint(
+                resume, {"params": params, "opt_state": opt_state}
+            )
+            params, opt_state = state["params"], state["opt_state"]
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            log.info(f"resumed from {resume} at epoch {start_epoch}")
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        log.info(f"model {self.model.name}: {n_params:,} params; "
+                 f"{steps_per_epoch} steps/epoch")
+
+        step = 0
+        stop = False
+        for epoch in range(start_epoch, self.max_epochs):
+            train_loader.set_epoch(epoch)
+            t0 = time.time()
+            pending = []          # device-side metric dicts; one sync per epoch
+            count = 0
+            for batch in train_loader:
+                graph = self.model.build_graph(batch)
+                jb, g = self._put(batch, graph)
+                rng, sub = jax.random.split(rng)
+                params, opt_state, metrics = self._train_step(
+                    params, opt_state, jb, g, sub
+                )
+                pending.append(metrics)
+                count += 1
+                step += 1
+            train_time = time.time() - t0
+            agg: dict[str, float] = {}
+            for m in jax.device_get(pending):
+                for k, v in m.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+            tm = {f"train_{k}": v / max(count, 1) for k, v in agg.items()}
+
+            row = {"epoch": epoch, "time": train_time, **tm}
+
+            if val_loader is not None and (epoch + 1) % self.check_val_every == 0:
+                vm = self.evaluate(params, val_loader)
+                row.update({f"val_{k}": v for k, v in vm.items()})
+                monitored = row.get("val_mae_loss", row.get("val_loss"))
+                self.ckpt.update(
+                    {"params": params, "opt_state": opt_state}, epoch,
+                    {"val_mae_loss": monitored},
+                )
+                stop = self.early.update(monitored)
+
+            self._metrics_f.write(json.dumps(row) + "\n")
+            self._metrics_f.flush()
+            log.info(
+                " ".join(
+                    [f"epoch {epoch}"]
+                    + [f"{k}={v:.5f}" for k, v in row.items() if k not in ("epoch",)]
+                )
+            )
+            if stop:
+                log.info(f"early stopping at epoch {epoch}")
+                break
+
+        self.state = {"params": params, "opt_state": opt_state}
+        return params
+
+    # ------------------------------------------------------------------
+    def evaluate(self, params, loader) -> dict[str, float]:
+        agg: dict[str, float] = {}
+        n = 0
+        for batch in loader:
+            graph = self.model.build_graph(batch)
+            jb, g = self._put(batch, graph)
+            metrics = jax.device_get(self._val_step(params, jb, g))
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in agg.items()}

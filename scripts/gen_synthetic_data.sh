@@ -1,0 +1,16 @@
+#!/bin/bash
+# Generate the full synthetic dataset suite (reference HDF5 schemas) used by
+# the experiment scripts when the original datasets are unavailable.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+python - <<'PY'
+from magnet_tpu.data.synthetic import generate_1d_file, generate_2d_file
+import os
+os.makedirs('data/B1/uniform', exist_ok=True)
+generate_1d_file('data/CE_train_E3.h5', n_train=64, n_valid=16, n_test=16, nt=250, nx=50, seed=0)
+generate_1d_file('data/KS_train.h5', n_train=64, n_valid=16, n_test=16, nt=128, nx=256, seed=1)
+generate_2d_file('data/B1/burgers_train_B1_64.h5', n_train=32, n_valid=8, n_test=8, nt=50, res=64, seed=2)
+generate_2d_file('data/B1/burgers_test_B1_32.h5', n_train=8, n_valid=8, n_test=8, nt=50, res=32, seed=3)
+generate_2d_file('data/B1/uniform/burgers_train_irregular_B1_128.h5', n_train=32, n_valid=8, n_test=8, nt=50, res=64, seed=4, irregular=True, n_nodes=128)
+print('synthetic data suite written to data/')
+PY
