@@ -51,7 +51,7 @@ def main():
             enc = batch_vmap(GraphEncoder, in_axes=(0, 0), node_out=LATENT,
                              edge_out=LATENT, mlp_layers=MLP_LAYERS,
                              mlp_hidden=LATENT, name="enc")
-            proc = batch_vmap(GraphProcessor, in_axes=(0, 0, 0, 0, 0, 0),
+            proc = batch_vmap(GraphProcessor, in_axes=(0, 0, 0),
                               latent_dim=LATENT, num_steps=MP_STEPS,
                               mlp_layers=MLP_LAYERS, mlp_hidden=LATENT,
                               name="proc")
@@ -59,8 +59,7 @@ def main():
                              mlp_layers=MLP_LAYERS, mlp_hidden=LATENT,
                              name="dec")
             x, e = enc(nf, ef)
-            x, _ = proc(x, e, g.senders, g.receivers, g.edge_mask,
-                        g.recv_edge_ids)
+            x, _ = proc(x, e, g)
             return dec(x)
 
     net = Net()

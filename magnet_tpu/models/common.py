@@ -16,16 +16,25 @@ from magnet_tpu.ops import graph as hostgraph
 
 
 class Graph(NamedTuple):
-    """Batched fixed-shape graph (leading batch dim on every field).
+    """Batched fixed-shape graph (leading batch dim on every field; also
+    used per-sample inside vmapped modules, where the batch dim is absent).
 
-    senders/receivers: (B, E) int32; edge_mask: (B, E) f32;
-    recv_edge_ids: (B, N, K) int32 (padded slots == E).
+    Two interchangeable aggregation layouts (ops/graph.py):
+      * table:   recv_edge_ids (B, N, K) gather table;
+      * blocked: blk_recv_local (B, T, E_TILE) + degree (B, N, 1) — edges
+        receiver-tile-packed; aggregation is a per-tile one-hot MXU matmul
+        (Pallas kernel on TPU, ops/pallas_kernels.py).  E == T*E_TILE.
+
+    senders/receivers are always the flat (B, E) GLOBAL edge list used for
+    edge-feature gathers.  Unused layout fields are None.
     """
 
     senders: jnp.ndarray
     receivers: jnp.ndarray
     edge_mask: jnp.ndarray
-    recv_edge_ids: jnp.ndarray
+    recv_edge_ids: jnp.ndarray | None = None
+    blk_recv_local: jnp.ndarray | None = None
+    degree: jnp.ndarray | None = None
 
     @staticmethod
     def from_padded(g: hostgraph.PaddedGraph) -> "Graph":
@@ -34,6 +43,16 @@ class Graph(NamedTuple):
             jnp.asarray(g.receivers),
             jnp.asarray(g.edge_mask),
             jnp.asarray(g.recv_edge_ids),
+        )
+
+    @staticmethod
+    def from_blocked(g: hostgraph.BlockedGraph) -> "Graph":
+        return Graph(
+            senders=jnp.asarray(g.senders.reshape(-1)),
+            receivers=jnp.asarray(g.receivers),
+            edge_mask=jnp.asarray(g.mask.reshape(-1)),
+            blk_recv_local=jnp.asarray(g.recv_local),
+            degree=jnp.asarray(g.degree),
         )
 
 
@@ -75,42 +94,39 @@ def build_radius_graph_batch(
     coords: np.ndarray,
     radius: float,
     loop: bool,
-    e_pad: int | None = None,
-    k_max: int | None = None,
     max_num_neighbors: int = 32,
+    tile_n: int = 128,
 ) -> Graph:
     """Host-side: build per-sample radius graphs for a batch of coordinate
-    sets (B, N, P) and stack into a batched :class:`Graph`.
-
-    If e_pad/k_max are None they are sized to the batch max and bucketed to
-    bound recompilation.
+    sets (B, N, P), pack into the blocked layout, stack into a batched
+    :class:`Graph`.  Per-tile bucket sizes are batch-maxed and rounded to
+    128 to bound recompilation.
     """
     coords = np.asarray(coords)
-    bsz = coords.shape[0]
+    bsz, n_node = coords.shape[:2]
     raw = [
         hostgraph.radius_graph_np(
             coords[b], radius, loop=loop, max_num_neighbors=max_num_neighbors
         )
         for b in range(bsz)
     ]
-    if e_pad is None:
-        e_pad = hostgraph.bucket_e_pad(max(len(s) for s, _ in raw))
-    if k_max is None:
-        k_max = max(
-            (int(np.bincount(t, minlength=coords.shape[1]).max()) if len(t) else 1)
-            for _, t in raw
-        )
-        k_max = min(max(k_max, 1), max_num_neighbors)
-    padded = [
-        hostgraph.pad_graph(s, t, coords.shape[1], e_pad=e_pad, k_max=k_max)
+    # shared e_tile across the batch (static shape)
+    n_pad = ((n_node + tile_n - 1) // tile_n) * tile_n
+    e_tile = 128
+    for s, t in raw:
+        if len(t):
+            counts = np.bincount(t // tile_n, minlength=n_pad // tile_n)
+            e_tile = max(e_tile, ((int(counts.max()) + 127) // 128) * 128)
+    blocked = [
+        hostgraph.block_graph(s, t, n_node, tile_n=tile_n, e_tile=e_tile)
         for s, t in raw
     ]
-    stacked = hostgraph.stack_graphs(padded)
     return Graph(
-        jnp.asarray(stacked.senders),
-        jnp.asarray(stacked.receivers),
-        jnp.asarray(stacked.edge_mask),
-        jnp.asarray(stacked.recv_edge_ids),
+        senders=jnp.asarray(np.stack([g.senders.reshape(-1) for g in blocked])),
+        receivers=jnp.asarray(np.stack([g.receivers for g in blocked])),
+        edge_mask=jnp.asarray(np.stack([g.mask.reshape(-1) for g in blocked])),
+        blk_recv_local=jnp.asarray(np.stack([g.recv_local for g in blocked])),
+        degree=jnp.asarray(np.stack([g.degree for g in blocked])),
     )
 
 

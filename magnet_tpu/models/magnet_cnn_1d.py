@@ -128,7 +128,7 @@ class MAgNetCNN1DCore(fnn.Module):
         )
         gproc = batch_vmap(
             GraphProcessor,
-            in_axes=(0, 0, 0, 0, 0, 0),
+            in_axes=(0, 0, 0),
             latent_dim=self.latent_dim,
             num_steps=self.num_message_passing_steps,
             mlp_layers=self.mlp_layers,
@@ -145,9 +145,7 @@ class MAgNetCNN1DCore(fnn.Module):
         )
 
         nf, ef = genc(node_feats, edge_feats)
-        nf, _ = gproc(
-            nf, ef, graph.senders, graph.receivers, graph.edge_mask, graph.recv_edge_ids
-        )
+        nf, _ = gproc(nf, ef, graph)
         ret = gdec(nf)                                             # (B, L+N, T_out)
 
         # Euler updates (reference magnet_cnn.py:364-374)

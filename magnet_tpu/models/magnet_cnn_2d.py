@@ -104,7 +104,7 @@ class MAgNetCNN2DCore(fnn.Module):
             name="_encoder",
         )
         gproc = batch_vmap(
-            GraphProcessor, in_axes=(0, 0, 0, 0, 0, 0),
+            GraphProcessor, in_axes=(0, 0, 0),
             latent_dim=self.latent_dim,
             num_steps=self.num_message_passing_steps,
             mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
@@ -117,10 +117,7 @@ class MAgNetCNN2DCore(fnn.Module):
         )
 
         nf, ef = genc(node_feats, edge_feats)
-        nf, _ = gproc(
-            nf, ef, graph.senders, graph.receivers, graph.edge_mask,
-            graph.recv_edge_ids,
-        )
+        nf, _ = gproc(nf, ef, graph)
         ret = gdec(nf)                                             # (B, WW+N, T_out)
 
         last_values = jnp.concatenate(

@@ -85,16 +85,13 @@ class MAgNetGNNCore(fnn.Module):
             name="encoder",
         )
         proc = batch_vmap(
-            GraphProcessor, in_axes=(0, 0, 0, 0, 0, 0),
+            GraphProcessor, in_axes=(0, 0, 0),
             latent_dim=self.latent_dim, num_steps=self.num_message_passing_steps,
             mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
             name="processor",
         )
         nf, ef = enc(nf, ef)
-        lr_encoded, _ = proc(
-            nf, ef, graph_lr.senders, graph_lr.receivers,
-            graph_lr.edge_mask, graph_lr.recv_edge_ids,
-        )                                                     # (B, L, latent)
+        lr_encoded, _ = proc(nf, ef, graph_lr)                # (B, L, latent)
 
         # ---- k-NN INR decode (magnet_gnn.py:224-283)
         dec = batch_vmap(
@@ -119,7 +116,7 @@ class MAgNetGNNCore(fnn.Module):
             name="_encoder",
         )
         proc2 = batch_vmap(
-            GraphProcessor, in_axes=(0, 0, 0, 0, 0, 0),
+            GraphProcessor, in_axes=(0, 0, 0),
             latent_dim=self.latent_dim, num_steps=self.num_message_passing_steps,
             mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
             name="_processor",
@@ -130,10 +127,7 @@ class MAgNetGNNCore(fnn.Module):
             mlp_hidden=self.mlp_hidden, name="_decoder",
         )
         nf, ef = enc2(nf, ef)
-        nf, _ = proc2(
-            nf, ef, graph_all.senders, graph_all.receivers,
-            graph_all.edge_mask, graph_all.recv_edge_ids,
-        )
+        nf, _ = proc2(nf, ef, graph_all)
         ret = gdec(nf)                                        # (B, L+N, T_out)
 
         # ---- Euler (magnet_gnn.py:359-369)

@@ -44,17 +44,17 @@ class _MPNNStep(fnn.Module):
 
     @fnn.compact
     def __call__(self, carry, _):
-        h, u, pos, variables, s, r, m, t = carry
+        h, u, pos, variables, gs = carry
         layer = batch_vmap(
             MPNNLayer,
-            in_axes=(0, 0, 0, 0, 0, 0, 0, 0),
+            in_axes=(0, 0, 0, 0, 0),
             hidden_features=self.hidden_features,
             out_features=self.hidden_features,
             pos_dim=self.pos_dim,
             name="layer",
         )
-        h = layer(h, u, pos, variables, s, r, m, t)
-        return (h, u, pos, variables, s, r, m, t), None
+        h = layer(h, u, pos, variables, gs)
+        return (h, u, pos, variables, gs), None
 
 
 class MPNNCore(fnn.Module):
@@ -86,11 +86,7 @@ class MPNNCore(fnn.Module):
             split_rngs={"params": True},
             length=self.hidden_layer,
         )(self.hidden_features, self.pos_dim, name="gnn_layers")
-        (h, *_), _ = scan(
-            (h, u, pos_x, variables, graph.senders, graph.receivers,
-             graph.edge_mask, graph.recv_edge_ids),
-            None,
-        )
+        (h, *_), _ = scan((h, u, pos_x, variables, graph), None)
 
         dec = TemporalBundlingDecoder(
             time_window=self.time_window,

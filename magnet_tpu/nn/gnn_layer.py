@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as fnn
 
 from magnet_tpu.nn.core import Linear, swish
-from magnet_tpu.ops.segment import aggregate_mean, segment_instance_norm
+from magnet_tpu.ops.segment import aggregate_mean_graph, segment_instance_norm
 
 
 class MPNNLayer(fnn.Module):
@@ -27,7 +27,8 @@ class MPNNLayer(fnn.Module):
     pos_dim: int = 1  # 1 for 1D, 2 for 2D
 
     @fnn.compact
-    def __call__(self, x, u, pos, variables, senders, receivers, edge_mask, recv_edge_ids):
+    def __call__(self, x, u, pos, variables, gs):
+        senders, receivers = gs.senders, gs.receivers
         x_i = jnp.take(x, receivers, axis=0)
         x_j = jnp.take(x, senders, axis=0)
         u_i = jnp.take(u, receivers, axis=0)
@@ -40,7 +41,7 @@ class MPNNLayer(fnn.Module):
         msg = swish(Linear(self.hidden_features)(msg))
         msg = swish(Linear(self.hidden_features)(msg))
 
-        agg = aggregate_mean(msg, recv_edge_ids, edge_mask)
+        agg = aggregate_mean_graph(msg, gs)
 
         upd = jnp.concatenate([x, agg, variables], axis=-1)
         upd = swish(Linear(self.hidden_features)(upd))

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as fnn
 
 from magnet_tpu.nn.core import MLP, LayerNorm
-from magnet_tpu.ops.segment import aggregate_mean
+from magnet_tpu.ops.segment import aggregate_mean_graph
 
 
 class GraphEncoder(fnn.Module):
@@ -71,11 +71,11 @@ class InteractionNetwork(fnn.Module):
     def node_mlp(self, upd_in):
         return self.node_fn(upd_in)
 
-    def __call__(self, x, e, senders, receivers, edge_mask, recv_edge_ids):
-        x_i = jnp.take(x, receivers, axis=0)
-        x_j = jnp.take(x, senders, axis=0)
+    def __call__(self, x, e, gs):
+        x_i = jnp.take(x, gs.receivers, axis=0)
+        x_j = jnp.take(x, gs.senders, axis=0)
         msg = self.edge_fn(jnp.concatenate([x_i, x_j, e], axis=-1))
-        agg = aggregate_mean(msg, recv_edge_ids, edge_mask)      # (N, C)
+        agg = aggregate_mean_graph(msg, gs)                      # (N, C)
         upd = self.node_fn(jnp.concatenate([agg, x], axis=-1))
         # residuals; the edge return is e + e (PyG update-arg quirk, see
         # module docstring) — NOT msg + e.
@@ -89,15 +89,15 @@ class _ProcStep(fnn.Module):
 
     @fnn.compact
     def __call__(self, carry, _):
-        x, e, s, r, m, t = carry
+        x, e, gs = carry
         x, e = InteractionNetwork(
             node_out=self.latent_dim,
             edge_out=self.latent_dim,
             mlp_layers=self.mlp_layers,
             mlp_hidden=self.mlp_hidden,
             name="step",
-        )(x, e, s, r, m, t)
-        return (x, e, s, r, m, t), None
+        )(x, e, gs)
+        return (x, e, gs), None
 
 
 class GraphProcessor(fnn.Module):
@@ -114,14 +114,14 @@ class GraphProcessor(fnn.Module):
     mlp_hidden: int
 
     @fnn.compact
-    def __call__(self, x, e, senders, receivers, edge_mask, recv_edge_ids):
+    def __call__(self, x, e, gs):
         scan = fnn.scan(
             _ProcStep,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.num_steps,
         )(self.latent_dim, self.mlp_layers, self.mlp_hidden, name="steps")
-        (x, e, *_), _ = scan((x, e, senders, receivers, edge_mask, recv_edge_ids), None)
+        (x, e, _), _ = scan((x, e, gs), None)
         return x, e
 
 

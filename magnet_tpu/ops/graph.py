@@ -182,3 +182,66 @@ def build_radius_graph_padded(
 def bucket_e_pad(e: int, granularity: int = 256) -> int:
     """Round an edge count up to a bucket to bound recompilation."""
     return max(granularity, ((e + granularity - 1) // granularity) * granularity)
+
+
+@dataclasses.dataclass
+class BlockedGraph:
+    """Tile-blocked edge layout for MXU aggregation (see
+    ops/pallas_kernels.py).  Edges are packed into per-node-tile buckets of
+    ``e_tile`` (receiver-major); aggregation per tile is a one-hot matmul.
+
+    senders:    (T, E_TILE) int32 global source ids (pad -> 0).
+    recv_local: (T, E_TILE) int32 receiver index within the tile.
+    mask:       (T, E_TILE) float32.
+    receivers:  (T*E_TILE,) int32 global receiver ids (for edge features).
+    degree:     (n_node, 1) float32 true in-degree of the REAL nodes.
+    n_node_pad: int, tiles * tile_n.
+    """
+
+    senders: np.ndarray
+    recv_local: np.ndarray
+    mask: np.ndarray
+    receivers: np.ndarray
+    degree: np.ndarray
+    n_node_pad: int
+
+    @property
+    def tile_n(self) -> int:
+        return self.n_node_pad // self.senders.shape[0]
+
+
+def block_graph(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    n_node: int,
+    tile_n: int = 128,
+    e_tile: Optional[int] = None,
+) -> BlockedGraph:
+    """Pack an edge list into the tile-blocked layout."""
+    n_pad = ((n_node + tile_n - 1) // tile_n) * tile_n
+    n_tiles = n_pad // tile_n
+    order = np.argsort(receivers, kind="stable")
+    s = np.asarray(senders)[order]
+    r = np.asarray(receivers)[order]
+    tile_of = r // tile_n
+    counts = np.bincount(tile_of, minlength=n_tiles)
+    if e_tile is None:
+        e_tile = int(counts.max()) if len(r) else 1
+        e_tile = max(128, ((e_tile + 127) // 128) * 128)
+    assert counts.max() <= e_tile if len(r) else True
+
+    S = np.zeros((n_tiles, e_tile), np.int32)
+    RL = np.zeros((n_tiles, e_tile), np.int32)
+    M = np.zeros((n_tiles, e_tile), np.float32)
+    RG = np.zeros((n_tiles, e_tile), np.int32)
+    offs = np.zeros(n_tiles, np.int64)
+    for eid in range(len(r)):
+        t = tile_of[eid]
+        k = offs[t]
+        S[t, k] = s[eid]
+        RL[t, k] = r[eid] - t * tile_n
+        RG[t, k] = r[eid]
+        M[t, k] = 1.0
+        offs[t] += 1
+    degree = np.bincount(receivers, minlength=n_node).astype(np.float32)[:, None]
+    return BlockedGraph(S, RL, M, RG.reshape(-1), degree, n_pad)

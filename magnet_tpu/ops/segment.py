@@ -81,3 +81,27 @@ def segment_instance_norm(
     mean = jnp.mean(x, axis=0, keepdims=True)
     var = jnp.mean(x * x, axis=0, keepdims=True) - mean * mean
     return (x - mean) / jnp.sqrt(var + eps)
+
+
+def aggregate_mean_graph(messages: jnp.ndarray, gs) -> jnp.ndarray:
+    """Masked-mean aggregation for a per-sample Graph (either layout).
+
+    messages: (E, C); gs: magnet_tpu.models.common.Graph per-sample slice.
+    Returns (N, C) where N = gs.degree.shape[0] (blocked) or
+    gs.recv_edge_ids.shape[0] (table).
+    """
+    if gs.blk_recv_local is not None:
+        from magnet_tpu.ops.pallas_kernels import blocked_segment_sum
+
+        t, et = gs.blk_recv_local.shape
+        c = messages.shape[-1]
+        tile_n = 128
+        out = blocked_segment_sum(
+            messages.reshape(t, et, c),
+            gs.blk_recv_local,
+            gs.edge_mask.reshape(t, et),
+            tile_n,
+        ).reshape(t * tile_n, c)
+        n = gs.degree.shape[0]
+        return out[:n] / jnp.maximum(gs.degree, 1.0)
+    return aggregate_mean(messages, gs.recv_edge_ids, gs.edge_mask)

@@ -15,3 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # parity tests compare against torch fp32: keep matmuls in fp32
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+# persistent compilation cache: first run compiles, reruns are fast
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/magnet_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -164,3 +164,50 @@ def test_grid_sample_nearest_2d_matches_torch():
         align_corners=False,
     )[0, :, 0].T.numpy()
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-6)
+
+
+def test_blocked_aggregation_matches_table():
+    """Blocked (one-hot matmul) aggregation == table aggregation == dense."""
+    from magnet_tpu.ops.graph import block_graph
+    from magnet_tpu.models.common import Graph
+    from magnet_tpu.ops.segment import aggregate_mean_graph
+
+    rng = np.random.default_rng(11)
+    n = 200
+    pos = rng.uniform(-1, 1, (n, 2))
+    s, t = radius_graph_np(pos, 0.3, loop=True)
+    bg = block_graph(s, t, n)
+    msgs_raw = rng.normal(size=(len(s), 7)).astype(np.float32)
+
+    # blocked-order messages: block_graph sorts edges by receiver
+    order = np.argsort(t, kind="stable")
+    e_flat = bg.senders.size
+    msgs_blk = np.zeros((e_flat, 7), np.float32)
+    # reconstruct packing: edges fill each tile bucket in sorted order
+    tile_of = t[order] // 128
+    offs = np.zeros(bg.senders.shape[0], np.int64)
+    et = bg.senders.shape[1]
+    for k, eid in enumerate(order):
+        tt = tile_of[k]
+        msgs_blk[tt * et + offs[tt]] = msgs_raw[eid]
+        offs[tt] += 1
+
+    gs = Graph(
+        senders=jnp.asarray(bg.senders.reshape(-1)),
+        receivers=jnp.asarray(bg.receivers),
+        edge_mask=jnp.asarray(bg.mask.reshape(-1)),
+        blk_recv_local=jnp.asarray(bg.recv_local),
+        degree=jnp.asarray(bg.degree),
+    )
+    out = aggregate_mean_graph(jnp.asarray(msgs_blk), gs)
+    ref = _dense_aggregate(msgs_raw, s, t, n, "mean")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+    # gradient path (custom_vjp backward)
+    def f(m):
+        return jnp.sum(aggregate_mean_graph(m, gs) ** 2)
+
+    g = jax.grad(f)(jnp.asarray(msgs_blk))
+    assert np.isfinite(np.asarray(g)).all()
+    # padded slots must get zero grad
+    assert float(jnp.abs(g * (1 - gs.edge_mask[:, None])).max()) == 0.0

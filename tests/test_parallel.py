@@ -40,28 +40,29 @@ def test_partitioned_processor_matches_single_device():
     e_total = int(sg.senders.shape[1]) * G
 
     # reference: single-device processor on the same (padded) graph
+    from magnet_tpu.models.common import Graph as GraphNT
+
     proc = GraphProcessor(
         latent_dim=LATENT, num_steps=STEPS, mlp_layers=2, mlp_hidden=LATENT
     )
-    # rebuild an equivalent unpartitioned padded graph
+    # rebuild an equivalent unpartitioned padded graph (table layout)
     g1 = pad_graph(s, t, n_pad, e_pad=len(s))
+    gs1 = GraphNT(
+        senders=jnp.asarray(g1.senders),
+        receivers=jnp.asarray(g1.receivers),
+        edge_mask=jnp.asarray(g1.edge_mask),
+        recv_edge_ids=jnp.asarray(g1.recv_edge_ids),
+    )
     params = proc.init(
         jax.random.PRNGKey(0),
         jnp.asarray(x[0]),
         jnp.zeros((len(s), LATENT)),
-        jnp.asarray(g1.senders),
-        jnp.asarray(g1.receivers),
-        jnp.asarray(g1.edge_mask),
-        jnp.asarray(g1.recv_edge_ids),
+        gs1,
     )
     e_feats_full = rng.normal(size=(len(s), LATENT)).astype(np.float32)
 
     def single(xb):
-        out, _ = proc.apply(
-            params, xb, jnp.asarray(e_feats_full),
-            jnp.asarray(g1.senders), jnp.asarray(g1.receivers),
-            jnp.asarray(g1.edge_mask), jnp.asarray(g1.recv_edge_ids),
-        )
+        out, _ = proc.apply(params, xb, jnp.asarray(e_feats_full), gs1)
         return out
 
     ref = np.stack([np.asarray(single(jnp.asarray(x[b]))) for b in range(B)])
