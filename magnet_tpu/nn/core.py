@@ -36,6 +36,29 @@ def torch_bias_init(fan_in: int) -> Callable:
     return init
 
 
+def torch_kernel_init_fan(fan_in: int) -> Callable:
+    """Kernel init U(±1/sqrt(fan_in)) with an EXPLICIT fan_in — used when a
+    conceptual wide layer is split into chunks (pre-projection trick) so the
+    init distribution matches the unsplit torch Linear."""
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_kernel_init_fanmult(mult: int) -> Callable:
+    """Kernel init U(±1/sqrt(mult * in_dim)) — for equal-width chunks of a
+    split conceptual layer (in_dim read from the kernel shape)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / np.sqrt(mult * shape[0])
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 def gelu(x):
     return jax.nn.gelu(x, approximate=False)
 

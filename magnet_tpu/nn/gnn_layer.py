@@ -28,17 +28,33 @@ class MPNNLayer(fnn.Module):
 
     @fnn.compact
     def __call__(self, x, u, pos, variables, gs):
-        senders, receivers = gs.senders, gs.receivers
-        x_i = jnp.take(x, receivers, axis=0)
-        x_j = jnp.take(x, senders, axis=0)
-        u_i = jnp.take(u, receivers, axis=0)
-        u_j = jnp.take(u, senders, axis=0)
-        p_i = jnp.take(pos, receivers, axis=0)
-        p_j = jnp.take(pos, senders, axis=0)
-        v_i = jnp.take(variables, receivers, axis=0)
+        from magnet_tpu.nn.core import torch_bias_init, torch_kernel_init_fan
 
-        msg = jnp.concatenate([x_i, x_j, u_i - u_j, p_i - p_j, v_i], axis=-1)
-        msg = swish(Linear(self.hidden_features)(msg))
+        senders, receivers = gs.senders, gs.receivers
+        # message_net_1 over concat(x_i, x_j, u_i-u_j, pos_i-pos_j, v_i),
+        # split into per-input chunks and pre-projected on the N-sized
+        # arrays (same math as the reference's per-edge concat+Linear,
+        # mpnn.py:51,77; init bound matches the unsplit torch Linear).
+        fan = 2 * x.shape[-1] + u.shape[-1] + pos.shape[-1] + variables.shape[-1]
+        kinit = torch_kernel_init_fan(fan)
+
+        def dense(name, use_bias=False):
+            return fnn.Dense(
+                self.hidden_features, use_bias=use_bias, kernel_init=kinit,
+                bias_init=torch_bias_init(fan), name=name,
+            )
+
+        p_xi = dense("msg1_xi")(x)
+        p_xj = dense("msg1_xj")(x)
+        p_u = dense("msg1_u")(u)
+        p_p = dense("msg1_pos")(pos)
+        p_v = dense("msg1_var", use_bias=True)(variables)
+        recv_side = p_xi + p_u + p_p + p_v                   # gathered at i
+        send_side = p_xj - p_u - p_p                         # gathered at j
+        msg = swish(
+            jnp.take(recv_side, receivers, axis=0)
+            + jnp.take(send_side, senders, axis=0)
+        )
         msg = swish(Linear(self.hidden_features)(msg))
 
         agg = aggregate_mean_graph(msg, gs)

@@ -19,10 +19,11 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
-from magnet_tpu.nn.core import MLP, LayerNorm
+from magnet_tpu.nn.core import MLP, LayerNorm, Linear
 from magnet_tpu.ops.segment import aggregate_mean_graph
 
 
@@ -46,10 +47,13 @@ class GraphEncoder(fnn.Module):
 class InteractionNetwork(fnn.Module):
     """One message-passing step (reference magnet_cnn.py:46-93).
 
-    x: (N, C), e: (E, C); returns (x', e') with residuals.  The edge and
-    node MLPs are exposed as methods so the edge-partitioned parallel
-    processor (magnet_tpu/parallel/graph_partition.py) can drive them
-    directly inside shard_map.
+    x: (N, C), e: (E, C); returns (x', e') with residuals.
+
+    TPU optimization (same math, fp-reassociated): the first edge-MLP layer
+    over concat(x_i, x_j, e) is split into three weight chunks; the x-chunks
+    are applied ONCE on the N-sized node array and then gathered per edge —
+    E·C·H FLOPs for two of three chunks collapse to N·C·H (E ≈ 20·N here).
+    Init matches the unsplit torch Linear (bound 1/sqrt(3C)).
     """
 
     node_out: int
@@ -58,23 +62,62 @@ class InteractionNetwork(fnn.Module):
     mlp_hidden: int
 
     def setup(self):
-        self.edge_fn = fnn.Sequential(
-            [MLP([self.mlp_hidden] * self.mlp_layers, self.edge_out), LayerNorm()]
+        from magnet_tpu.nn.core import torch_bias_init, torch_kernel_init_fanmult
+
+        init3 = torch_kernel_init_fanmult(3)
+
+        def bias3(key, shape, dtype=jnp.float32):
+            # bias bound 1/sqrt(3C); C == mlp params' edge dim == hidden of
+            # the incoming features — read from the e-chunk kernel fan-in at
+            # init time is not possible here, so use edge_out (C == latent).
+            import jax as _jax
+            import numpy as _np
+
+            bound = 1.0 / _np.sqrt(3 * self.edge_out)
+            return _jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        self.e_w_xi = fnn.Dense(self.mlp_hidden, use_bias=False, kernel_init=init3)
+        self.e_w_xj = fnn.Dense(self.mlp_hidden, use_bias=False, kernel_init=init3)
+        self.e_w_e = fnn.Dense(
+            self.mlp_hidden, use_bias=True, kernel_init=init3, bias_init=bias3
         )
+        # remaining edge MLP layers: hidden x (mlp_layers-1), then out
+        self.e_rest = [Linear(self.mlp_hidden) for _ in range(self.mlp_layers - 1)]
+        self.e_out = Linear(self.edge_out)
+        self.e_ln = LayerNorm()
         self.node_fn = fnn.Sequential(
             [MLP([self.mlp_hidden] * self.mlp_layers, self.node_out), LayerNorm()]
         )
 
+    def _edge_tail(self, h):
+        h = jax.nn.relu(h)
+        for lin in self.e_rest:
+            h = jax.nn.relu(lin(h))
+        return self.e_ln(self.e_out(h))
+
     def edge_mlp(self, msg_in):
-        return self.edge_fn(msg_in)
+        """Edge MLP over explicit concat(x_i, x_j, e) — used by the
+        edge-partitioned parallel processor."""
+        c = msg_in.shape[-1] // 3
+        h = (
+            self.e_w_xi(msg_in[..., :c])
+            + self.e_w_xj(msg_in[..., c : 2 * c])
+            + self.e_w_e(msg_in[..., 2 * c :])
+        )
+        return self._edge_tail(h)
 
     def node_mlp(self, upd_in):
         return self.node_fn(upd_in)
 
     def __call__(self, x, e, gs):
-        x_i = jnp.take(x, gs.receivers, axis=0)
-        x_j = jnp.take(x, gs.senders, axis=0)
-        msg = self.edge_fn(jnp.concatenate([x_i, x_j, e], axis=-1))
+        p_xi = self.e_w_xi(x)                                    # (N, H)
+        p_xj = self.e_w_xj(x)                                    # (N, H)
+        h = (
+            jnp.take(p_xi, gs.receivers, axis=0)
+            + jnp.take(p_xj, gs.senders, axis=0)
+            + self.e_w_e(e)
+        )                                                        # (E, H)
+        msg = self._edge_tail(h)
         agg = aggregate_mean_graph(msg, gs)                      # (N, C)
         upd = self.node_fn(jnp.concatenate([agg, x], axis=-1))
         # residuals; the edge return is e + e (PyG update-arg quirk, see

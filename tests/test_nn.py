@@ -150,3 +150,45 @@ def test_same_padding_conv_matches_torch():
         torch.from_numpy(b), padding=1,
     ).numpy().transpose(0, 2, 1)
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_interaction_network_split_equals_concat():
+    """The pre-projected (split-weight) edge MLP == explicit concat path."""
+    from magnet_tpu.models.common import Graph
+    from magnet_tpu.nn.graphnet import InteractionNetwork
+    from magnet_tpu.ops.graph import block_graph, radius_graph_np
+
+    rng = np.random.default_rng(6)
+    n, c = 50, 8
+    pos = rng.uniform(-1, 1, (n, 2))
+    s, t = radius_graph_np(pos, 0.5, loop=True)
+    bg = block_graph(s, t, n)
+    e_flat = bg.senders.size
+    gs = Graph(
+        senders=jnp.asarray(bg.senders.reshape(-1)),
+        receivers=jnp.asarray(bg.receivers),
+        edge_mask=jnp.asarray(bg.mask.reshape(-1)),
+        blk_recv_local=jnp.asarray(bg.recv_local),
+        degree=jnp.asarray(bg.degree),
+    )
+    x = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(e_flat, c)).astype(np.float32))
+    mod = InteractionNetwork(node_out=c, edge_out=c, mlp_layers=2, mlp_hidden=c)
+    params = mod.init(jax.random.PRNGKey(0), x, e, gs)
+
+    x_i = jnp.take(x, gs.receivers, axis=0)
+    x_j = jnp.take(x, gs.senders, axis=0)
+    concat_msg = mod.apply(
+        params, jnp.concatenate([x_i, x_j, e], axis=-1), method="edge_mlp"
+    )
+
+    # recompute the split path's messages by re-running __call__ internals:
+    # compare aggregated node output instead (covers the whole step)
+    out_x, out_e = mod.apply(params, x, e, gs)
+    from magnet_tpu.ops.segment import aggregate_mean_graph
+
+    agg = aggregate_mean_graph(concat_msg, gs)
+    upd = mod.apply(params, jnp.concatenate([agg, x], axis=-1), method="node_mlp")
+    np.testing.assert_allclose(
+        np.asarray(out_x), np.asarray(x + upd), rtol=2e-4, atol=2e-5
+    )
