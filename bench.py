@@ -72,12 +72,16 @@ def main():
     tx = make_optimizer(1e-3)
     opt_state = tx.init(params)
 
+    fwd_only = bool(os.environ.get("BENCH_FWD_ONLY"))
+
     @jax.jit
     def step(params, opt_state, nf, ef, graph, target):
         def lfn(p):
             out = net.apply(p, nf, ef, graph)
             return jnp.mean(jnp.abs(out - target))
 
+        if fwd_only:
+            return params, opt_state, lfn(params)
         loss, grads = jax.value_and_grad(lfn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

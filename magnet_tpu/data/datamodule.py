@@ -123,11 +123,14 @@ def build_loaders(cfg: dict[str, Any], seed: int = 0, shuffle_eval: bool = True)
     ds = build_datasets(cfg)
     bs = int(cfg.get("batch_size", 32))
     prefetch = 2 if cfg.get("num_workers", 0) else 0
+    # eval splits keep the trailing partial batch (one extra jit shape)
     return {
         "train": DataLoader(ds["train"], bs, shuffle=True, seed=seed,
                             prefetch=prefetch),
-        "val": DataLoader(ds["val"], bs, shuffle=shuffle_eval, seed=seed + 1,
+        "val": DataLoader(ds["val"], min(bs, len(ds["val"])),
+                          shuffle=shuffle_eval, seed=seed + 1,
                           prefetch=prefetch),
-        "test": DataLoader(ds["test"], bs, shuffle=shuffle_eval, seed=seed + 2,
+        "test": DataLoader(ds["test"], min(bs, len(ds["test"])),
+                           shuffle=shuffle_eval, seed=seed + 2,
                            prefetch=prefetch),
     }

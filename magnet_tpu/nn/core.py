@@ -15,7 +15,7 @@ All modules are feature-last.
 """
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -76,10 +76,15 @@ ACTIVATIONS = {
 
 
 class Linear(fnn.Module):
-    """Dense layer with torch nn.Linear default init."""
+    """Dense layer with torch nn.Linear default init.
+
+    ``dtype`` is the computation dtype (params stay float32) — set to
+    jnp.bfloat16 for the fast path on TPU.
+    """
 
     features: int
     use_bias: bool = True
+    dtype: Any = None
 
     @fnn.compact
     def __call__(self, x):
@@ -87,6 +92,7 @@ class Linear(fnn.Module):
         y = fnn.Dense(
             self.features,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init(fan_in),
         )(x)
@@ -96,9 +102,11 @@ class Linear(fnn.Module):
 class LayerNorm(fnn.Module):
     """torch nn.LayerNorm (eps=1e-5, elementwise affine)."""
 
+    dtype: Any = None
+
     @fnn.compact
     def __call__(self, x):
-        return fnn.LayerNorm(epsilon=1e-5)(x)
+        return fnn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
 
 
 class MLP(fnn.Module):
@@ -108,13 +116,14 @@ class MLP(fnn.Module):
     hidden_list: Sequence[int]
     out_dim: int
     activation: str = "relu"
+    dtype: Any = None
 
     @fnn.compact
     def __call__(self, x):
         act = ACTIVATIONS[self.activation]
         for h in self.hidden_list:
-            x = act(Linear(h)(x))
-        return Linear(self.out_dim)(x)
+            x = act(Linear(h, dtype=self.dtype)(x))
+        return Linear(self.out_dim, dtype=self.dtype)(x)
 
 
 class Conv(fnn.Module):

@@ -17,7 +17,7 @@ All modules operate on a single graph sample; vmap over batch.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -34,13 +34,16 @@ class GraphEncoder(fnn.Module):
     edge_out: int
     mlp_layers: int
     mlp_hidden: int
+    dtype: Any = None
 
     @fnn.compact
     def __call__(self, node_feats, edge_feats):
-        n = MLP([self.mlp_hidden] * self.mlp_layers, self.node_out)(node_feats)
-        n = LayerNorm()(n)
-        e = MLP([self.mlp_hidden] * self.mlp_layers, self.edge_out)(edge_feats)
-        e = LayerNorm()(e)
+        n = MLP([self.mlp_hidden] * self.mlp_layers, self.node_out,
+                dtype=self.dtype)(node_feats)
+        n = LayerNorm(dtype=self.dtype)(n)
+        e = MLP([self.mlp_hidden] * self.mlp_layers, self.edge_out,
+                dtype=self.dtype)(edge_feats)
+        e = LayerNorm(dtype=self.dtype)(e)
         return n, e
 
 
@@ -60,6 +63,7 @@ class InteractionNetwork(fnn.Module):
     edge_out: int
     mlp_layers: int
     mlp_hidden: int
+    dtype: Any = None
 
     def setup(self):
         from magnet_tpu.nn.core import torch_bias_init, torch_kernel_init_fanmult
@@ -76,17 +80,24 @@ class InteractionNetwork(fnn.Module):
             bound = 1.0 / _np.sqrt(3 * self.edge_out)
             return _jax.random.uniform(key, shape, dtype, -bound, bound)
 
-        self.e_w_xi = fnn.Dense(self.mlp_hidden, use_bias=False, kernel_init=init3)
-        self.e_w_xj = fnn.Dense(self.mlp_hidden, use_bias=False, kernel_init=init3)
+        self.e_w_xi = fnn.Dense(self.mlp_hidden, use_bias=False,
+                                kernel_init=init3, dtype=self.dtype)
+        self.e_w_xj = fnn.Dense(self.mlp_hidden, use_bias=False,
+                                kernel_init=init3, dtype=self.dtype)
         self.e_w_e = fnn.Dense(
-            self.mlp_hidden, use_bias=True, kernel_init=init3, bias_init=bias3
+            self.mlp_hidden, use_bias=True, kernel_init=init3,
+            bias_init=bias3, dtype=self.dtype,
         )
         # remaining edge MLP layers: hidden x (mlp_layers-1), then out
-        self.e_rest = [Linear(self.mlp_hidden) for _ in range(self.mlp_layers - 1)]
-        self.e_out = Linear(self.edge_out)
-        self.e_ln = LayerNorm()
+        self.e_rest = [
+            Linear(self.mlp_hidden, dtype=self.dtype)
+            for _ in range(self.mlp_layers - 1)
+        ]
+        self.e_out = Linear(self.edge_out, dtype=self.dtype)
+        self.e_ln = LayerNorm(dtype=self.dtype)
         self.node_fn = fnn.Sequential(
-            [MLP([self.mlp_hidden] * self.mlp_layers, self.node_out), LayerNorm()]
+            [MLP([self.mlp_hidden] * self.mlp_layers, self.node_out,
+                 dtype=self.dtype), LayerNorm(dtype=self.dtype)]
         )
 
     def _edge_tail(self, h):
@@ -129,6 +140,7 @@ class _ProcStep(fnn.Module):
     latent_dim: int
     mlp_layers: int
     mlp_hidden: int
+    dtype: Any = None
 
     @fnn.compact
     def __call__(self, carry, _):
@@ -138,6 +150,7 @@ class _ProcStep(fnn.Module):
             edge_out=self.latent_dim,
             mlp_layers=self.mlp_layers,
             mlp_hidden=self.mlp_hidden,
+            dtype=self.dtype,
             name="step",
         )(x, e, gs)
         return (x, e, gs), None
@@ -155,6 +168,7 @@ class GraphProcessor(fnn.Module):
     num_steps: int
     mlp_layers: int
     mlp_hidden: int
+    dtype: Any = None
 
     @fnn.compact
     def __call__(self, x, e, gs):
@@ -163,7 +177,11 @@ class GraphProcessor(fnn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.num_steps,
-        )(self.latent_dim, self.mlp_layers, self.mlp_hidden, name="steps")
+        )(self.latent_dim, self.mlp_layers, self.mlp_hidden, self.dtype,
+          name="steps")
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            e = e.astype(self.dtype)
         (x, e, _), _ = scan((x, e, gs), None)
         return x, e
 
@@ -174,7 +192,9 @@ class GraphDecoder(fnn.Module):
     node_out: int
     mlp_layers: int
     mlp_hidden: int
+    dtype: Any = None
 
     @fnn.compact
     def __call__(self, x):
-        return MLP([self.mlp_hidden] * self.mlp_layers, self.node_out)(x)
+        return MLP([self.mlp_hidden] * self.mlp_layers, self.node_out,
+                   dtype=self.dtype)(x)

@@ -33,11 +33,13 @@ def _use_pallas() -> bool:
 
 
 def _einsum_impl(msgs, recv_local, mask, tile_n):
-    """msgs (T, E, C); recv_local/mask (T, E) -> (T, tile_n, C)."""
+    """msgs (T, E, C); recv_local/mask (T, E) -> (T, tile_n, C) float32."""
     iota = jnp.arange(tile_n, dtype=recv_local.dtype)
     onehot = (recv_local[:, None, :] == iota[None, :, None]).astype(msgs.dtype)
-    onehot = onehot * mask[:, None, :]
-    return jnp.einsum("tne,tec->tnc", onehot, msgs)
+    onehot = onehot * mask[:, None, :].astype(msgs.dtype)
+    return jnp.einsum(
+        "tne,tec->tnc", onehot, msgs, preferred_element_type=jnp.float32
+    )
 
 
 def _pallas_impl(msgs, recv_local, mask, tile_n):
@@ -52,7 +54,9 @@ def _pallas_impl(msgs, recv_local, mask, tile_n):
         recv = recv_ref[0, 0]                               # (E,)
         m = mask_ref[0, 0]                                  # (E,)
         rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, E), 0)
-        onehot = (rows == recv[None, :]).astype(msgs_ref.dtype) * m[None, :]
+        onehot = (rows == recv[None, :]).astype(msgs_ref.dtype) * m[None, :].astype(
+            msgs_ref.dtype
+        )
         out_ref[0] = jax.lax.dot_general(
             onehot,
             msgs_ref[0],
@@ -73,7 +77,7 @@ def _pallas_impl(msgs, recv_local, mask, tile_n):
         ],
         out_specs=pl.BlockSpec((1, tile_n, C), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, tile_n, C), msgs.dtype),
+        out_shape=jax.ShapeDtypeStruct((T, tile_n, C), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * tile_n * E * C,
             bytes_accessed=T * E * C * 4 + T * tile_n * C * 4,
@@ -102,15 +106,16 @@ def blocked_segment_sum(msgs, recv_local, mask, tile_n: int = TILE_N):
 
 
 def _fwd(msgs, recv_local, mask, tile_n):
-    return _impl(msgs, recv_local, mask, tile_n), (recv_local, mask)
+    proto = jnp.zeros((0,), msgs.dtype)     # records the primal dtype
+    return _impl(msgs, recv_local, mask, tile_n), (recv_local, mask, proto)
 
 
 def _bwd(tile_n, res, g):
-    recv_local, mask = res
+    recv_local, mask, proto = res
     # d_msgs[t, e] = g[t, recv_local[t, e]] * mask[t, e]
     d_msgs = jnp.take_along_axis(g, recv_local[..., None], axis=1)
     d_msgs = d_msgs * mask[..., None]
-    return d_msgs, None, None
+    return d_msgs.astype(proto.dtype), None, None
 
 
 blocked_segment_sum.defvjp(_fwd, _bwd)

@@ -103,5 +103,6 @@ def aggregate_mean_graph(messages: jnp.ndarray, gs) -> jnp.ndarray:
             tile_n,
         ).reshape(t * tile_n, c)
         n = gs.degree.shape[0]
-        return out[:n] / jnp.maximum(gs.degree, 1.0)
+        out = out[:n] / jnp.maximum(gs.degree, 1.0)
+        return out.astype(messages.dtype)
     return aggregate_mean(messages, gs.recv_edge_ids, gs.edge_mask)

@@ -186,11 +186,15 @@ class Trainer:
                 vm = self.evaluate(params, val_loader)
                 row.update({f"val_{k}": v for k, v in vm.items()})
                 monitored = row.get("val_mae_loss", row.get("val_loss"))
-                self.ckpt.update(
-                    {"params": params, "opt_state": opt_state}, epoch,
-                    {"val_mae_loss": monitored},
-                )
-                stop = self.early.update(monitored)
+                if monitored is not None:
+                    self.ckpt.update(
+                        {"params": params, "opt_state": opt_state}, epoch,
+                        {"val_mae_loss": monitored},
+                    )
+                    stop = self.early.update(monitored)
+                else:
+                    log.warning("val loader produced no batches; skipping "
+                                "checkpoint/early-stop this epoch")
 
             self._metrics_f.write(json.dumps(row) + "\n")
             self._metrics_f.flush()

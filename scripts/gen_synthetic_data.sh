@@ -12,5 +12,12 @@ generate_1d_file('data/KS_train.h5', n_train=64, n_valid=16, n_test=16, nt=128, 
 generate_2d_file('data/B1/burgers_train_B1_64.h5', n_train=32, n_valid=8, n_test=8, nt=50, res=64, seed=2)
 generate_2d_file('data/B1/burgers_test_B1_32.h5', n_train=8, n_valid=8, n_test=8, nt=50, res=32, seed=3)
 generate_2d_file('data/B1/uniform/burgers_train_irregular_B1_128.h5', n_train=32, n_valid=8, n_test=8, nt=50, res=64, seed=4, irregular=True, n_nodes=128)
+# each generated file holds train/valid/test groups; mirror the
+# reference's separate-file layout by copying
+import shutil
+shutil.copy('data/CE_train_E3.h5', 'data/CE_valid_E3.h5')
+shutil.copy('data/CE_train_E3.h5', 'data/CE_test_E3.h5')
+shutil.copy('data/KS_train.h5', 'data/KS_valid.h5')
+shutil.copy('data/KS_train.h5', 'data/Heat_test.h5')
 print('synthetic data suite written to data/')
 PY
