@@ -79,8 +79,61 @@ def run(tag, dtype, train=True, iters=20):
           f"loss={float(loss):.4f}")
 
 
+def run_scanned(tag, dtype, n_inner=10, iters=5):
+    """Chain n_inner train steps inside ONE jit call — separates device
+    time from per-call tunnel/dispatch latency."""
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(-1, 1, (B, N, 2)).astype(np.float32)
+    r = float(np.sqrt(20 * 4 / (np.pi * N)))
+    g = build_radius_graph_batch(coords, r, loop=True)
+    e_real = float(np.asarray(g.edge_mask).sum()) / B
+    E = g.senders.shape[1]
+
+    net = build(dtype)
+    nf = jnp.asarray(rng.normal(size=(B, N, T_IN + 3)).astype(np.float32))
+    ef = jnp.asarray(rng.normal(size=(B, E, T_IN + 2)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(B, N, T_IN)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), nf, ef, g)
+    tx = make_optimizer(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def multi(params, opt, nf, ef, tgt):
+        def one(carry, _):
+            params, opt = carry
+
+            def lfn(p):
+                return jnp.mean(jnp.abs(net.apply(p, nf, ef, g) - tgt))
+
+            loss, grads = jax.value_and_grad(lfn)(params)
+            upd, opt = tx.update(grads, opt, params)
+            return (optax.apply_updates(params, upd), opt), loss
+
+        (params, opt), losses = jax.lax.scan(one, (params, opt), None,
+                                             length=n_inner)
+        return params, opt, losses[-1]
+
+    for _ in range(2):
+        params, opt, loss = multi(params, opt, nf, ef, tgt)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt, loss = multi(params, opt, nf, ef, tgt)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / (iters * n_inner)
+    eps = B * e_real * MP / dt
+    print(f"{tag:28s} {dt*1e3:8.2f} ms/step  {eps/1e6:8.2f} M edges/s  "
+          f"loss={float(loss):.4f}")
+
+
 if __name__ == "__main__":
-    run("fp32 fwd", None, train=False)
-    run("fp32 train", None, train=True)
-    run("bf16 fwd", jnp.bfloat16, train=False)
-    run("bf16 train", jnp.bfloat16, train=True)
+    import os as _os
+
+    which = _os.environ.get("VARIANTS", "all")
+    if which in ("all", "plain"):
+        run("fp32 fwd", None, train=False)
+        run("fp32 train", None, train=True)
+        run("bf16 fwd", jnp.bfloat16, train=False)
+        run("bf16 train", jnp.bfloat16, train=True)
+    if which in ("all", "scan"):
+        run_scanned("fp32 train scan10", None)

@@ -156,9 +156,13 @@ class Trainer:
         log.info(f"model {self.model.name}: {n_params:,} params; "
                  f"{steps_per_epoch} steps/epoch")
 
+        profile_dir = os.environ.get("MAGNET_TPU_PROFILE_DIR")
         step = 0
         stop = False
         for epoch in range(start_epoch, self.max_epochs):
+            if profile_dir and epoch == start_epoch + 1:
+                # second epoch: steady state, compiles done
+                jax.profiler.start_trace(profile_dir)
             train_loader.set_epoch(epoch)
             t0 = time.time()
             pending = []          # device-side metric dicts; one sync per epoch
@@ -180,7 +184,12 @@ class Trainer:
                     agg[k] = agg.get(k, 0.0) + float(v)
             tm = {f"train_{k}": v / max(count, 1) for k, v in agg.items()}
 
-            row = {"epoch": epoch, "time": train_time, **tm}
+            row = {
+                "epoch": epoch,
+                "time": train_time,
+                "steps_per_s": count / max(train_time, 1e-9),
+                **tm,
+            }
 
             if val_loader is not None and (epoch + 1) % self.check_val_every == 0:
                 vm = self.evaluate(params, val_loader)
@@ -196,6 +205,9 @@ class Trainer:
                     log.warning("val loader produced no batches; skipping "
                                 "checkpoint/early-stop this epoch")
 
+            if profile_dir and epoch == start_epoch + 1:
+                jax.profiler.stop_trace()
+                log.info(f"profiler trace written to {profile_dir}")
             self._metrics_f.write(json.dumps(row) + "\n")
             self._metrics_f.flush()
             log.info(
