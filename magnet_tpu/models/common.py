@@ -90,6 +90,9 @@ def nrmse(pred, target, eps: float = 1e-12):
     return num / (den + eps)
 
 
+_E_TILE_CACHE: dict = {}
+
+
 def build_radius_graph_batch(
     coords: np.ndarray,
     radius: float,
@@ -110,13 +113,19 @@ def build_radius_graph_batch(
         )
         for b in range(bsz)
     ]
-    # shared e_tile across the batch (static shape)
+    # shared e_tile across the batch (static shape), STICKY across batches:
+    # per-batch maxima vary slightly between batches of irregular meshes,
+    # which would retrigger jit each batch — remember the largest bucket
+    # seen for this (n_node, radius, loop, tile_n) workload and reuse it.
     n_pad = ((n_node + tile_n - 1) // tile_n) * tile_n
     e_tile = 128
     for s, t in raw:
         if len(t):
             counts = np.bincount(t // tile_n, minlength=n_pad // tile_n)
             e_tile = max(e_tile, ((int(counts.max()) + 127) // 128) * 128)
+    key = (n_node, round(float(radius), 9), bool(loop), tile_n)
+    e_tile = max(e_tile, _E_TILE_CACHE.get(key, 0))
+    _E_TILE_CACHE[key] = e_tile
     blocked = [
         hostgraph.block_graph(s, t, n_node, tile_n=tile_n, e_tile=e_tile)
         for s, t in raw
