@@ -51,6 +51,8 @@ class MAgNetCNN1DCore(fnn.Module):
     res_scale: float = 1.0
     res_layers: int = 4
 
+    remat: bool = False
+
     @fnn.compact
     def __call__(self, x_t, coords, cell, t, hr_last, graph: Graph):
         """
@@ -130,7 +132,7 @@ class MAgNetCNN1DCore(fnn.Module):
             GraphProcessor,
             in_axes=(0, 0, 0),
             latent_dim=self.latent_dim,
-            num_steps=self.num_message_passing_steps,
+            num_steps=self.num_message_passing_steps, remat=self.remat,
             mlp_layers=self.mlp_layers,
             mlp_hidden=self.mlp_hidden,
             name="_processor",
@@ -191,6 +193,7 @@ class MAgNetCNN1D:
             kernel_size=int(self.hp.get("kernel_size", 3)),
             res_scale=float(self.hp.get("res_scale", 1.0)),
             res_layers=int(self.hp.get("res_layers", 4)),
+            remat=bool(self.hp.get("remat", False)),
         )
 
     # ---------- host-side ----------

@@ -41,6 +41,8 @@ class MAgNetCNN2DCore(fnn.Module):
     res_scale: float = 1.0
     res_layers: int = 16
 
+    remat: bool = False
+
     @fnn.compact
     def __call__(self, x_t, coords, cell, t, hr_last, graph: Graph):
         """
@@ -106,7 +108,7 @@ class MAgNetCNN2DCore(fnn.Module):
         gproc = batch_vmap(
             GraphProcessor, in_axes=(0, 0, 0),
             latent_dim=self.latent_dim,
-            num_steps=self.num_message_passing_steps,
+            num_steps=self.num_message_passing_steps, remat=self.remat,
             mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
             name="_processor",
         )
@@ -159,6 +161,7 @@ class MAgNetCNN2D:
             kernel_size=int(self.hp.get("kernel_size", 3)),
             res_scale=float(self.hp.get("res_scale", 1.0)),
             res_layers=int(self.hp.get("res_layers", 16)),
+            remat=bool(self.hp.get("remat", False)),
         )
 
     def build_graph(self, batch) -> Graph:

@@ -42,6 +42,7 @@ class MAgNetGNNCore(fnn.Module):
     n_chan: int = 128
     codec_neighbors: int = 4
     interpolation: str = "area"
+    remat: bool = False
 
     @fnn.compact
     def __call__(self, x_lr, lr_coords, hr_coords, t, hr_last,
@@ -86,7 +87,7 @@ class MAgNetGNNCore(fnn.Module):
         )
         proc = batch_vmap(
             GraphProcessor, in_axes=(0, 0, 0),
-            latent_dim=self.latent_dim, num_steps=self.num_message_passing_steps,
+            latent_dim=self.latent_dim, num_steps=self.num_message_passing_steps, remat=self.remat,
             mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
             name="processor",
         )
@@ -117,7 +118,7 @@ class MAgNetGNNCore(fnn.Module):
         )
         proc2 = batch_vmap(
             GraphProcessor, in_axes=(0, 0, 0),
-            latent_dim=self.latent_dim, num_steps=self.num_message_passing_steps,
+            latent_dim=self.latent_dim, num_steps=self.num_message_passing_steps, remat=self.remat,
             mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
             name="_processor",
         )
@@ -169,6 +170,7 @@ class MAgNetGNN:
             n_chan=int(self.hp.get("n_chan", 128)),
             codec_neighbors=self.codec_neighbors,
             interpolation=self.hp.get("interpolation", "area"),
+            remat=bool(self.hp.get("remat", False)),
         )
 
     # ---------- host-side ----------

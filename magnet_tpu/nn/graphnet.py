@@ -169,11 +169,17 @@ class GraphProcessor(fnn.Module):
     mlp_layers: int
     mlp_hidden: int
     dtype: Any = None
+    remat: bool = False
 
     @fnn.compact
     def __call__(self, x, e, gs):
+        step_cls = _ProcStep
+        if self.remat:
+            # trade recompute for activation memory (jax.checkpoint per
+            # mp step) — enables the 256^2-node stretch meshes
+            step_cls = fnn.remat(_ProcStep, prevent_cse=False)
         scan = fnn.scan(
-            _ProcStep,
+            step_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.num_steps,

@@ -14,6 +14,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def to_coords(x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Space-time coordinate grid X of shape [time, space, 2] with
+    X[..., 0] = space, X[..., 1] = time (reference utils.py:5-17)."""
+    x_, t_ = jnp.meshgrid(jnp.asarray(x), jnp.asarray(t), indexing="ij")
+    return jnp.stack((x_.T, t_.T), axis=-1)
+
+
 def make_coord(shape: Sequence[int], ranges=None, flatten: bool = True) -> jnp.ndarray:
     """Coordinates at grid cell centers in [-1, 1] (reference utils.py:19-35).
 

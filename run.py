@@ -47,6 +47,12 @@ def main(argv=None):
     os.makedirs(workdir, exist_ok=True)
     save_config(cfg, os.path.join(workdir, "config.yaml"))
 
+    precision = str(cfg.trainer.get("precision", "default"))
+    if precision in ("float32", "highest"):
+        jax.config.update("jax_default_matmul_precision", "highest")
+    elif precision in ("tensorfloat32", "high"):
+        jax.config.update("jax_default_matmul_precision", "high")
+
     loaders = build_loaders(cfg.datamodule, seed=int(cfg.seed))
     model = create_model(model_name, cfg.model.params)
 
