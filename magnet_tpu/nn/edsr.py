@@ -33,7 +33,22 @@ class ResBlock(fnn.Module):
         return (out + x) * self.res_scale
 
 
+class _ResStep(fnn.Module):
+    n_chan: int
+    kernel_size: int
+    ndim: int
+
+    @fnn.compact
+    def __call__(self, res, _):
+        res = ResBlock(self.n_chan, self.kernel_size, self.ndim)(res)
+        return res, None
+
+
 class EDSR(fnn.Module):
+    """Residual blocks run as a ``lax.scan`` over stacked per-block params
+    (all blocks are identical in shape — reference edsr.py:43) so the
+    compiled program holds one block instead of up to 16."""
+
     n_chan: int = 64
     res_layers: int = 16
     kernel_size: int = 3
@@ -44,8 +59,12 @@ class EDSR(fnn.Module):
     def __call__(self, x):
         k = (self.kernel_size,) * self.ndim
         x = Conv(self.n_chan, k)(x)
-        res = x
-        for _ in range(self.res_layers):
-            res = ResBlock(self.n_chan, self.kernel_size, self.ndim)(res)
+        scan = fnn.scan(
+            _ResStep,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.res_layers,
+        )(self.n_chan, self.kernel_size, self.ndim, name="res_layers")
+        res, _ = scan(x, None)
         res = Conv(self.n_chan, k)(res)
         return res + x
