@@ -35,6 +35,8 @@ class Graph(NamedTuple):
     recv_edge_ids: jnp.ndarray | None = None
     blk_recv_local: jnp.ndarray | None = None
     degree: jnp.ndarray | None = None
+    blk_snd_edge_ids: jnp.ndarray | None = None   # (B, T, E_TILE_S)
+    blk_snd_local: jnp.ndarray | None = None      # (B, T, E_TILE_S)
 
     @staticmethod
     def from_padded(g: hostgraph.PaddedGraph) -> "Graph":
@@ -53,6 +55,8 @@ class Graph(NamedTuple):
             edge_mask=jnp.asarray(g.mask.reshape(-1)),
             blk_recv_local=jnp.asarray(g.recv_local),
             degree=jnp.asarray(g.degree),
+            blk_snd_edge_ids=jnp.asarray(g.snd_edge_ids),
+            blk_snd_local=jnp.asarray(g.snd_local),
         )
 
 
@@ -126,8 +130,19 @@ def build_radius_graph_batch(
     key = (n_node, round(float(radius), 9), bool(loop), tile_n)
     e_tile = max(e_tile, _E_TILE_CACHE.get(key, 0))
     _E_TILE_CACHE[key] = e_tile
+    # sender-side bucket: batch max, sticky, x128
+    e_tile_s = 128
+    for s, t in raw:
+        if len(s):
+            counts = np.bincount(s // tile_n, minlength=n_pad // tile_n)
+            e_tile_s = max(e_tile_s, ((int(counts.max()) + 127) // 128) * 128)
+    skey = key + ("snd",)
+    e_tile_s = max(e_tile_s, _E_TILE_CACHE.get(skey, 0))
+    _E_TILE_CACHE[skey] = e_tile_s
     blocked = [
-        hostgraph.block_graph(s, t, n_node, tile_n=tile_n, e_tile=e_tile)
+        hostgraph.block_graph(
+            s, t, n_node, tile_n=tile_n, e_tile=e_tile, e_tile_s=e_tile_s
+        )
         for s, t in raw
     ]
     return Graph(
@@ -136,6 +151,8 @@ def build_radius_graph_batch(
         edge_mask=jnp.asarray(np.stack([g.mask.reshape(-1) for g in blocked])),
         blk_recv_local=jnp.asarray(np.stack([g.recv_local for g in blocked])),
         degree=jnp.asarray(np.stack([g.degree for g in blocked])),
+        blk_snd_edge_ids=jnp.asarray(np.stack([g.snd_edge_ids for g in blocked])),
+        blk_snd_local=jnp.asarray(np.stack([g.snd_local for g in blocked])),
     )
 
 

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as fnn
 
 from magnet_tpu.nn.core import Linear, swish
-from magnet_tpu.ops.segment import aggregate_mean_graph, segment_instance_norm
+from magnet_tpu.ops.segment import aggregate_mean_graph, gather_nodes, segment_instance_norm
 
 
 class MPNNLayer(fnn.Module):
@@ -52,8 +52,8 @@ class MPNNLayer(fnn.Module):
         recv_side = p_xi + p_u + p_p + p_v                   # gathered at i
         send_side = p_xj - p_u - p_p                         # gathered at j
         msg = swish(
-            jnp.take(recv_side, receivers, axis=0)
-            + jnp.take(send_side, senders, axis=0)
+            gather_nodes(recv_side, gs, "receiver")
+            + gather_nodes(send_side, gs, "sender")
         )
         msg = swish(Linear(self.hidden_features)(msg))
 

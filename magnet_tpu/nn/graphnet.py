@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as fnn
 
 from magnet_tpu.nn.core import MLP, LayerNorm, Linear
-from magnet_tpu.ops.segment import aggregate_mean_graph
+from magnet_tpu.ops.segment import aggregate_mean_graph, gather_nodes
 
 
 class GraphEncoder(fnn.Module):
@@ -124,8 +124,8 @@ class InteractionNetwork(fnn.Module):
         p_xi = self.e_w_xi(x)                                    # (N, H)
         p_xj = self.e_w_xj(x)                                    # (N, H)
         h = (
-            jnp.take(p_xi, gs.receivers, axis=0)
-            + jnp.take(p_xj, gs.senders, axis=0)
+            gather_nodes(p_xi, gs, "receiver")
+            + gather_nodes(p_xj, gs, "sender")
             + self.e_w_e(e)
         )                                                        # (E, H)
         msg = self._edge_tail(h)

@@ -196,6 +196,12 @@ class BlockedGraph:
     receivers:  (T*E_TILE,) int32 global receiver ids (for edge features).
     degree:     (n_node, 1) float32 true in-degree of the REAL nodes.
     n_node_pad: int, tiles * tile_n.
+
+    Sender-side transpose blocking (for scatter-free gather VJPs —
+    d_x[j] = sum of d_msg over edges with sender j):
+    snd_edge_ids: (T, E_TILE_S) int32 ids into the FLAT blocked edge array
+                  (pad -> T*E_TILE, a dummy one-past-the-end row).
+    snd_local:    (T, E_TILE_S) int32 sender index within the tile.
     """
 
     senders: np.ndarray
@@ -204,6 +210,8 @@ class BlockedGraph:
     receivers: np.ndarray
     degree: np.ndarray
     n_node_pad: int
+    snd_edge_ids: np.ndarray | None = None
+    snd_local: np.ndarray | None = None
 
     @property
     def tile_n(self) -> int:
@@ -216,6 +224,7 @@ def block_graph(
     n_node: int,
     tile_n: int = 128,
     e_tile: Optional[int] = None,
+    e_tile_s: Optional[int] = None,
 ) -> BlockedGraph:
     """Pack an edge list into the tile-blocked layout."""
     n_pad = ((n_node + tile_n - 1) // tile_n) * tile_n
@@ -244,4 +253,24 @@ def block_graph(
         M[t, k] = 1.0
         offs[t] += 1
     degree = np.bincount(receivers, minlength=n_node).astype(np.float32)[:, None]
-    return BlockedGraph(S, RL, M, RG.reshape(-1), degree, n_pad)
+
+    # sender-side transpose blocking over the FLAT blocked edge array
+    flat_s = S.reshape(-1)
+    flat_m = M.reshape(-1)
+    real = np.nonzero(flat_m > 0)[0]
+    s_tile_of = flat_s[real] // tile_n
+    s_counts = np.bincount(s_tile_of, minlength=n_tiles)
+    if e_tile_s is None:
+        e_tile_s = int(s_counts.max()) if len(real) else 1
+        e_tile_s = max(128, ((e_tile_s + 127) // 128) * 128)
+    assert (s_counts.max() if len(real) else 0) <= e_tile_s
+    SID = np.full((n_tiles, e_tile_s), n_tiles * e_tile, np.int32)
+    SL = np.zeros((n_tiles, e_tile_s), np.int32)
+    soffs = np.zeros(n_tiles, np.int64)
+    for fid in real:
+        tt = flat_s[fid] // tile_n
+        k = soffs[tt]
+        SID[tt, k] = fid
+        SL[tt, k] = flat_s[fid] - tt * tile_n
+        soffs[tt] += 1
+    return BlockedGraph(S, RL, M, RG.reshape(-1), degree, n_pad, SID, SL)

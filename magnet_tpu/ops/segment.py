@@ -106,3 +106,86 @@ def aggregate_mean_graph(messages: jnp.ndarray, gs) -> jnp.ndarray:
         out = out[:n] / jnp.maximum(gs.degree, 1.0)
         return out.astype(messages.dtype)
     return aggregate_mean(messages, gs.recv_edge_ids, gs.edge_mask)
+
+
+def _transpose_sum_by_sender(d_edges: jnp.ndarray, gs) -> jnp.ndarray:
+    """Sum per-edge cotangents into sender nodes using the sender-side
+    transpose blocking: gather rows by snd_edge_ids, then one MXU one-hot
+    matmul per tile (no XLA scatter)."""
+    from magnet_tpu.ops.pallas_kernels import blocked_segment_sum
+
+    t, ets = gs.blk_snd_local.shape
+    c = d_edges.shape[-1]
+    e_flat = d_edges.shape[0]
+    padded = jnp.concatenate([d_edges, jnp.zeros_like(d_edges[:1])], axis=0)
+    g = jnp.take(padded, gs.blk_snd_edge_ids.reshape(-1), axis=0).reshape(
+        t, ets, c
+    )
+    mask = (gs.blk_snd_edge_ids < e_flat).astype(d_edges.dtype)
+    out = blocked_segment_sum(g, gs.blk_snd_local, mask, 128).reshape(-1, c)
+    n = gs.degree.shape[0]
+    return out[:n].astype(d_edges.dtype)
+
+
+def _sum_by_receiver(d_edges: jnp.ndarray, gs) -> jnp.ndarray:
+    """Sum per-edge cotangents into receiver nodes via the receiver
+    blocking (edges are already receiver-tile-packed)."""
+    from magnet_tpu.ops.pallas_kernels import blocked_segment_sum
+
+    t, et = gs.blk_recv_local.shape
+    c = d_edges.shape[-1]
+    out = blocked_segment_sum(
+        d_edges.reshape(t, et, c), gs.blk_recv_local,
+        gs.edge_mask.reshape(t, et), 128,
+    ).reshape(-1, c)
+    n = gs.degree.shape[0]
+    return out[:n].astype(d_edges.dtype)
+
+
+@jax.custom_vjp
+def gather_receiver(p: jnp.ndarray, gs) -> jnp.ndarray:
+    """p[(receivers)] with a scatter-free backward (blocked MXU reduction).
+    p: (N, C) -> (E, C).  Requires the blocked layout; callers fall back to
+    plain take otherwise."""
+    return jnp.take(p, gs.receivers, axis=0)
+
+
+def _gr_fwd(p, gs):
+    return jnp.take(p, gs.receivers, axis=0), gs
+
+
+def _gr_bwd(gs, g):
+    return _sum_by_receiver(g, gs), None
+
+
+gather_receiver.defvjp(_gr_fwd, _gr_bwd)
+
+
+@jax.custom_vjp
+def gather_sender(p: jnp.ndarray, gs) -> jnp.ndarray:
+    """p[(senders)] with a scatter-free backward via the sender-side
+    transpose blocking.  p: (N, C) -> (E, C)."""
+    return jnp.take(p, gs.senders, axis=0)
+
+
+def _gs_fwd(p, gs):
+    return jnp.take(p, gs.senders, axis=0), gs
+
+
+def _gs_bwd(gs, g):
+    return _transpose_sum_by_sender(g, gs), None
+
+
+gather_sender.defvjp(_gs_fwd, _gs_bwd)
+
+
+def gather_nodes(p: jnp.ndarray, gs, side: str) -> jnp.ndarray:
+    """Gather node rows per edge; scatter-free VJP when the blocked layout
+    is present."""
+    if side == "receiver":
+        if gs.blk_recv_local is not None:
+            return gather_receiver(p, gs)
+        return jnp.take(p, gs.receivers, axis=0)
+    if gs.blk_snd_edge_ids is not None:
+        return gather_sender(p, gs)
+    return jnp.take(p, gs.senders, axis=0)
