@@ -1,0 +1,252 @@
+"""Import reference PyTorch (Lightning) checkpoints into magnet_tpu params.
+
+The reference's trained weights live in Lightning ``.ckpt`` files whose
+``state_dict`` keys are fully determined by its module definitions
+(reference models/magnet_cnn.py, models/mpnn.py, models/fno_1d.py,
+models/backbones/{mlp,edsr}.py).  This module maps those names/layouts onto
+our flax param trees so per-layer activation parity and nRMSE runs can use
+the reference's actual trained weights (BASELINE.md).
+
+Conventions:
+  * torch Linear weight (out, in)  -> flax Dense kernel (in, out): transpose.
+  * torch ConvNd weight (out, in, *k) -> flax Conv kernel (*k, in, out).
+  * torch LayerNorm weight/bias    -> flax scale/bias.
+  * reference MLP = ModuleList([Linear, act, Linear, act, ..., Linear]) so
+    Linears sit at even indices 0, 2, ..., 2*n_hidden.
+  * our split first layers (pre-projection) take contiguous column chunks
+    of the reference's concatenated weight (see nn/graphnet.py,
+    nn/gnn_layer.py) — the chunk order matches the reference's concat
+    order.
+  * scanned stacks (GraphProcessor steps, EDSR res blocks, MPNN layers)
+    stack the per-step torch tensors on a new leading axis.
+
+Use :func:`load_lightning_state_dict` to read a ``.ckpt`` with torch, or
+pass any ``{name: np.ndarray}`` mapping.
+"""
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def load_lightning_state_dict(path: str) -> dict[str, np.ndarray]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def _lin(sd, prefix):
+    return {
+        "kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T),
+        "bias": np.ascontiguousarray(sd[f"{prefix}.bias"]),
+    }
+
+
+def _ln(sd, prefix):
+    return {
+        "scale": np.ascontiguousarray(sd[f"{prefix}.weight"]),
+        "bias": np.ascontiguousarray(sd[f"{prefix}.bias"]),
+    }
+
+
+def _conv(sd, prefix):
+    w = sd[f"{prefix}.weight"]          # (out, in, *k)
+    k = w.ndim - 2
+    perm = tuple(range(2, 2 + k)) + (1, 0)
+    return {
+        "Conv_0": {
+            "kernel": np.ascontiguousarray(w.transpose(perm)),
+            "bias": np.ascontiguousarray(sd[f"{prefix}.bias"]),
+        }
+    }
+
+
+def _mlp(sd, prefix, n_hidden):
+    """reference MLP(hidden_list=[h]*n_hidden) -> our MLP subtree."""
+    out = {}
+    for j in range(n_hidden + 1):
+        out[f"Linear_{j}"] = {"Dense_0": _lin(sd, f"{prefix}.layers.{2 * j}")}
+    return out
+
+
+def _seq_mlp_ln(sd, prefix, n_hidden):
+    """reference Sequential(MLP, LayerNorm) -> (mlp_subtree, ln_subtree)."""
+    return _mlp(sd, f"{prefix}.0", n_hidden), {"LayerNorm_0": _ln(sd, f"{prefix}.1")}
+
+
+def _stack(trees):
+    """Stack a list of identically-structured numpy trees on axis 0."""
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+
+def _interaction_step(sd, prefix, mlp_layers, latent):
+    """One reference InteractionNetwork -> our _ProcStep 'step' subtree
+    (edge MLP first layer split into e_w_xi/e_w_xj/e_w_e chunks)."""
+    w0 = sd[f"{prefix}.edge_fn.0.layers.0.weight"]   # (H, 3C)
+    b0 = sd[f"{prefix}.edge_fn.0.layers.0.bias"]
+    c = latent
+    step = {
+        "e_w_xi": {"kernel": np.ascontiguousarray(w0[:, :c].T)},
+        "e_w_xj": {"kernel": np.ascontiguousarray(w0[:, c : 2 * c].T)},
+        "e_w_e": {
+            "kernel": np.ascontiguousarray(w0[:, 2 * c :].T),
+            "bias": np.ascontiguousarray(b0),
+        },
+        "e_ln": {"LayerNorm_0": _ln(sd, f"{prefix}.edge_fn.1")},
+    }
+    # remaining edge Linears: hidden at torch indices 2..2*(mlp_layers-1),
+    # final at 2*mlp_layers
+    for j in range(1, mlp_layers):
+        step[f"e_rest_{j - 1}"] = {
+            "Dense_0": _lin(sd, f"{prefix}.edge_fn.0.layers.{2 * j}")
+        }
+    step["e_out"] = {
+        "Dense_0": _lin(sd, f"{prefix}.edge_fn.0.layers.{2 * mlp_layers}")
+    }
+    node_mlp, node_ln = _seq_mlp_ln(sd, f"{prefix}.node_fn", mlp_layers)
+    step["node_fn"] = {"layers_0": node_mlp, "layers_1": node_ln}
+    return step
+
+
+def import_magnet_cnn(sd: Mapping[str, np.ndarray], hp: Mapping[str, Any]) -> dict:
+    """Build the flax param tree for MAgNetCNN1D/2D cores from a reference
+    MAgNetCNN(_2d) state_dict."""
+    mlp_layers = int(hp.get("mlp_layers", 4))
+    latent = int(hp.get("latent_dim", 32))
+    res_layers = int(hp.get("res_layers", 4))
+    mp = int(hp.get("num_message_passing_steps", 10))
+
+    p: dict = {}
+    # EDSR
+    enc = {
+        "Conv_0": _conv(sd, "encoder.head_conv"),
+        "Conv_1": _conv(sd, "encoder.tail_conv"),
+        "res_layers": {
+            "ResBlock_0": _stack(
+                [
+                    {
+                        "Conv_0": _conv(sd, f"encoder.res_layers.{i}.conv_1"),
+                        "Conv_1": _conv(sd, f"encoder.res_layers.{i}.conv_2"),
+                    }
+                    for i in range(res_layers)
+                ]
+            )
+        },
+    }
+    p["encoder"] = enc
+
+    # INR proj_head = Sequential(MLP, LayerNorm)
+    mlp_t, ln_t = _seq_mlp_ln(sd, "proj_head", mlp_layers)
+    p["continuous_decoder"] = {"MLP_0": mlp_t, "LayerNorm_0": ln_t}
+
+    p["projector"] = _mlp(sd, "projector", mlp_layers)
+
+    # GraphEncoder: node_fn -> MLP_0/LayerNorm_0, edge_fn -> MLP_1/LayerNorm_1
+    nm, nl = _seq_mlp_ln(sd, "_encoder.node_fn", mlp_layers)
+    em, el = _seq_mlp_ln(sd, "_encoder.edge_fn", mlp_layers)
+    p["_encoder"] = {
+        "MLP_0": nm, "LayerNorm_0": nl, "MLP_1": em, "LayerNorm_1": el,
+    }
+
+    # Processor: stack InteractionNetworks
+    steps = [
+        _interaction_step(sd, f"_processor.gnn_stacks.{i}", mlp_layers, latent)
+        for i in range(mp)
+    ]
+    p["_processor"] = {"steps": {"step": _stack(steps)}}
+
+    p["_decoder"] = {"MLP_0": _mlp(sd, "_decoder.node_fn", mlp_layers)}
+    return {"params": p}
+
+
+def import_mpnn(sd: Mapping[str, np.ndarray], hp: Mapping[str, Any],
+                pos_dim: int = 1) -> dict:
+    """Reference MPNN(_2d) state_dict -> MPNNCore params."""
+    hidden = int(hp.get("hidden_features", 128))
+    n_layers = int(hp.get("hidden_layer", 5))
+    tw = int(hp.get("time_window", 16))
+
+    p: dict = {
+        "embed_0": {"Dense_0": _lin(sd, "embedding_mlp.0")},
+        "embed_1": {"Dense_0": _lin(sd, "embedding_mlp.2")},
+    }
+
+    def layer_tree(i):
+        w = sd[f"gnn_layers.{i}.message_net_1.0.weight"]  # (H, 2C+tw+P+1)
+        b = sd[f"gnn_layers.{i}.message_net_1.0.bias"]
+        c = hidden
+        o = 0
+        chunks = {}
+        for name, width in [
+            ("msg1_xi", c), ("msg1_xj", c), ("msg1_u", tw),
+            ("msg1_pos", pos_dim), ("msg1_var", 1),
+        ]:
+            chunks[name] = {"kernel": np.ascontiguousarray(w[:, o : o + width].T)}
+            o += width
+        chunks["msg1_var"]["bias"] = np.ascontiguousarray(b)
+        chunks["Linear_0"] = {"Dense_0": _lin(sd, f"gnn_layers.{i}.message_net_2.0")}
+        chunks["Linear_1"] = {"Dense_0": _lin(sd, f"gnn_layers.{i}.update_net_1.0")}
+        chunks["Linear_2"] = {"Dense_0": _lin(sd, f"gnn_layers.{i}.update_net_2.0")}
+        return chunks
+
+    p["gnn_layers"] = {
+        "layer": _stack([layer_tree(i) for i in range(n_layers)])
+    }
+
+    # decoder CNN: Conv at torch index 0; second Conv at 1 (tw==10 1D, no
+    # Swish) or 2 otherwise
+    second = 1 if (tw == 10 and pos_dim == 1) else 2
+    p["output_mlp"] = {
+        "Conv_0": _conv(sd, "output_mlp.0"),
+        "Conv_1": _conv(sd, f"output_mlp.{second}"),
+    }
+    return {"params": p}
+
+
+def import_fno_1d(sd: Mapping[str, np.ndarray], hp: Mapping[str, Any]) -> dict:
+    num_layers = int(hp.get("num_layers", 5))
+    p: dict = {
+        "fc0": {"Dense_0": _lin(sd, "fc0")},
+        "fc1": {"Dense_0": _lin(sd, "fc1")},
+        "fc2": {"Dense_0": _lin(sd, "fc2")},
+    }
+    for i in range(num_layers):
+        w = sd[f"fourier_layers.{i}.weights"]            # complex (in,out,modes)
+        p[f"fourier_{i}"] = {
+            "weights_real": np.ascontiguousarray(w.real.astype(np.float32)),
+            "weights_imag": np.ascontiguousarray(w.imag.astype(np.float32)),
+        }
+        cw = sd[f"conv_layers.{i}.weight"]               # (out, in, 1)
+        p[f"conv_{i}"] = {
+            "Dense_0": {
+                "kernel": np.ascontiguousarray(cw[:, :, 0].T),
+                "bias": np.ascontiguousarray(sd[f"conv_layers.{i}.bias"]),
+            }
+        }
+    return {"params": p}
+
+
+IMPORTERS = {
+    "magnet_cnn": import_magnet_cnn,
+    "magnet_cnn_2d": import_magnet_cnn,
+    "mpnn": lambda sd, hp: import_mpnn(sd, hp, pos_dim=1),
+    "mpnn_2d": lambda sd, hp: import_mpnn(sd, hp, pos_dim=2),
+    "fno_1d": import_fno_1d,
+}
+
+
+def import_state_dict(model_name: str, sd: Mapping[str, np.ndarray],
+                      hp: Mapping[str, Any]) -> dict:
+    if model_name not in IMPORTERS:
+        raise NotImplementedError(
+            f"no torch importer for {model_name!r} yet (have: {sorted(IMPORTERS)})"
+        )
+    # strip Lightning's "model." prefix variants if present
+    if sd and all(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items()}
+    return IMPORTERS[model_name](sd, hp)
