@@ -231,12 +231,74 @@ def import_fno_1d(sd: Mapping[str, np.ndarray], hp: Mapping[str, Any]) -> dict:
     return {"params": p}
 
 
+def import_magnet_gnn(sd: Mapping[str, np.ndarray], hp: Mapping[str, Any]) -> dict:
+    """Reference MAgNetGNN state_dict -> MAgNetGNNCore params.
+
+    Two encoder/processor stacks ('encoder'/'processor' over LR and
+    '_encoder'/'_processor' over LR∪HR, reference magnet_gnn.py:175-222);
+    proj_head is a single Linear (magnet_gnn.py:193)."""
+    mlp_layers = int(hp.get("mlp_layers", 4))
+    latent = int(hp.get("latent_dim", 128))
+    mp = int(hp.get("num_message_passing_steps", 5))
+
+    def enc(prefix):
+        nm, nl = _seq_mlp_ln(sd, f"{prefix}.node_fn", mlp_layers)
+        em, el = _seq_mlp_ln(sd, f"{prefix}.edge_fn", mlp_layers)
+        return {"MLP_0": nm, "LayerNorm_0": nl, "MLP_1": em, "LayerNorm_1": el}
+
+    def proc(prefix):
+        steps = [
+            _interaction_step(sd, f"{prefix}.gnn_stacks.{i}", mlp_layers, latent)
+            for i in range(mp)
+        ]
+        return {"steps": {"step": _stack(steps)}}
+
+    p: dict = {
+        "encoder": enc("encoder"),
+        "processor": proc("processor"),
+        "_encoder": enc("_encoder"),
+        "_processor": proc("_processor"),
+        "_decoder": {"MLP_0": _mlp(sd, "_decoder.node_fn", mlp_layers)},
+        "projector": _mlp(sd, "projector", mlp_layers),
+        "continuous_decoder": {"Linear_0": {"Dense_0": _lin(sd, "proj_head")}},
+    }
+    return {"params": p}
+
+
+def import_fno_2d(sd: Mapping[str, np.ndarray], hp: Mapping[str, Any]) -> dict:
+    num_layers = int(hp.get("num_layers", 5))
+    p: dict = {
+        "fc0": {"Dense_0": _lin(sd, "fc0")},
+        "fc1": {"Dense_0": _lin(sd, "fc1")},
+        "fc2": {"Dense_0": _lin(sd, "fc2")},
+    }
+    for i in range(num_layers):
+        for wi in (1, 2):
+            w = sd[f"fourier_layers.{i}.weights{wi}"]
+            p.setdefault(f"fourier_{i}", {})[f"weights{wi}_real"] = (
+                np.ascontiguousarray(w.real.astype(np.float32))
+            )
+            p[f"fourier_{i}"][f"weights{wi}_imag"] = np.ascontiguousarray(
+                w.imag.astype(np.float32)
+            )
+        cw = sd[f"conv_layers.{i}.weight"]               # (out, in, 1, 1)
+        p[f"conv_{i}"] = {
+            "Dense_0": {
+                "kernel": np.ascontiguousarray(cw[:, :, 0, 0].T),
+                "bias": np.ascontiguousarray(sd[f"conv_layers.{i}.bias"]),
+            }
+        }
+    return {"params": p}
+
+
 IMPORTERS = {
     "magnet_cnn": import_magnet_cnn,
     "magnet_cnn_2d": import_magnet_cnn,
     "mpnn": lambda sd, hp: import_mpnn(sd, hp, pos_dim=1),
     "mpnn_2d": lambda sd, hp: import_mpnn(sd, hp, pos_dim=2),
     "fno_1d": import_fno_1d,
+    "fno_2d": import_fno_2d,
+    "magnet_gnn": import_magnet_gnn,
 }
 
 

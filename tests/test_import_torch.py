@@ -210,3 +210,64 @@ def test_import_mpnn_structure():
     assert ref_shapes == imp_shapes
     loss, _ = m.loss(jax.tree.map(jnp.asarray, imported), batch, g, train=True)
     assert np.isfinite(float(loss))
+
+
+def test_import_magnet_gnn_structure():
+    rng = np.random.default_rng(3)
+    hp = dict(time_slice=16, latent_dim=8, num_message_passing_steps=2,
+              mlp_layers=2, mlp_hidden=16, n_chan=16, radius=0.3,
+              codec_neighbors=4, noise=0.0, interpolation="area",
+              teacher_forcing=True, loss="l1")
+    ts, latent, ml, mh, nch = 16, 8, 2, 16, 16
+    sd = {}
+
+    def lin(name, i, o):
+        sd[f"{name}.weight"] = rng.normal(size=(o, i)).astype(np.float32) * 0.1
+        sd[f"{name}.bias"] = rng.normal(size=(o,)).astype(np.float32) * 0.1
+
+    def ln(name, d):
+        sd[f"{name}.weight"] = np.ones(d, np.float32)
+        sd[f"{name}.bias"] = np.zeros(d, np.float32)
+
+    def mlp(name, i, o):
+        dims = [i] + [mh] * ml + [o]
+        for j in range(ml + 1):
+            lin(f"{name}.layers.{2 * j}", dims[j], dims[j + 1])
+
+    for pfx in ("encoder", "_encoder"):
+        mlp(f"{pfx}.node_fn.0", ts + 2, latent)   # 1D coords: ts+1+1
+        ln(f"{pfx}.node_fn.1", latent)
+        mlp(f"{pfx}.edge_fn.0", ts + 1, latent)
+        ln(f"{pfx}.edge_fn.1", latent)
+    for pfx in ("processor", "_processor"):
+        for i in range(2):
+            mlp(f"{pfx}.gnn_stacks.{i}.edge_fn.0", 3 * latent, latent)
+            ln(f"{pfx}.gnn_stacks.{i}.edge_fn.1", latent)
+            mlp(f"{pfx}.gnn_stacks.{i}.node_fn.0", 2 * latent, latent)
+            ln(f"{pfx}.gnn_stacks.{i}.node_fn.1", latent)
+    mlp("_decoder.node_fn", latent, ts)
+    mlp("projector", nch, 1)
+    lin("proj_head", latent + 1 + 1 + 1, nch)     # latent+C+P+1 (1D)
+
+    imported = import_state_dict("magnet_gnn", sd, hp)
+
+    B, nt, L, N = 2, 48, 32, 16
+    batch = {
+        "t": jnp.asarray(np.linspace(0, 1, nt, dtype=np.float32)[None].repeat(B, 0)),
+        "lr_frames": jnp.asarray(rng.normal(size=(B, nt, 1, L)).astype(np.float32)),
+        "hr_points": jnp.asarray(rng.normal(size=(B, nt, N, 1)).astype(np.float32)),
+        "coords_hr": jnp.asarray(
+            np.sort(rng.uniform(-1, 1, (B, N, 1)).astype(np.float32), axis=1)
+        ),
+        "coords_lr": jnp.asarray(
+            np.sort(rng.uniform(-1, 1, (B, L, 1)).astype(np.float32), axis=1)
+        ),
+    }
+    m = create_model("magnet_gnn", hp)
+    g = m.build_graph(batch)
+    ref_params = m.init(jax.random.PRNGKey(0), batch, g)
+    ref_shapes = jax.tree.map(lambda a: tuple(a.shape), ref_params)
+    imp_shapes = jax.tree.map(lambda a: tuple(a.shape), jax.tree.map(jnp.asarray, imported))
+    assert ref_shapes == imp_shapes
+    loss, _ = m.loss(jax.tree.map(jnp.asarray, imported), batch, g, train=True)
+    assert np.isfinite(float(loss))
