@@ -291,6 +291,60 @@ def import_fno_2d(sd: Mapping[str, np.ndarray], hp: Mapping[str, Any]) -> dict:
     return {"params": p}
 
 
+def import_no_interaction(sd: Mapping[str, np.ndarray], hp: Mapping[str, Any]) -> dict:
+    """Reference MAgNetCNN_no_interaction state_dict -> NoInteractionCore
+    params (EDSR + recurrent INR Linear + LSTM seq2seq attention +
+    LayerNorm + decoder MLP, reference magnet_cnn_no_interaction.py:52-82)."""
+    mlp_layers = int(hp.get("mlp_layers", 1))
+    res_layers = int(hp.get("res_layers", 16))
+    lstm_layers = int(hp.get("lstm_layers", 4))
+
+    def lstm(prefix):
+        out = {}
+        for k in range(lstm_layers):
+            out[f"layer_{k}"] = {
+                "w_ih": np.ascontiguousarray(sd[f"{prefix}.weight_ih_l{k}"].T),
+                "w_hh": np.ascontiguousarray(sd[f"{prefix}.weight_hh_l{k}"].T),
+                "b_ih": np.ascontiguousarray(sd[f"{prefix}.bias_ih_l{k}"]),
+                "b_hh": np.ascontiguousarray(sd[f"{prefix}.bias_hh_l{k}"]),
+            }
+        return out
+
+    p: dict = {
+        "encoder": {
+            "Conv_0": _conv(sd, "encoder.head_conv"),
+            "Conv_1": _conv(sd, "encoder.tail_conv"),
+            "res_layers": {
+                "ResBlock_0": _stack(
+                    [
+                        {
+                            "Conv_0": _conv(sd, f"encoder.res_layers.{i}.conv_1"),
+                            "Conv_1": _conv(sd, f"encoder.res_layers.{i}.conv_2"),
+                        }
+                        for i in range(res_layers)
+                    ]
+                )
+            },
+        },
+        "recurrent_inr": {
+            "rec_step": {"proj_head": {"Dense_0": _lin(sd, "proj_head")}}
+        },
+        "seq2seq": {
+            "lstm_encoder": lstm("lstm_encoder"),
+            "att_decoder": {
+                "lstm_decoder": lstm("lstm_decoder"),
+                "attn_1": {"Dense_0": _lin(sd, "attn.0")},
+                "attn_2": {
+                    "kernel": np.ascontiguousarray(sd["attn.2.weight"].T)
+                },
+            },
+        },
+        "layernorm": {"LayerNorm_0": _ln(sd, "layernorm")},
+        "decoder": _mlp(sd, "decoder", mlp_layers),
+    }
+    return {"params": p}
+
+
 IMPORTERS = {
     "magnet_cnn": import_magnet_cnn,
     "magnet_cnn_2d": import_magnet_cnn,
@@ -299,6 +353,7 @@ IMPORTERS = {
     "fno_1d": import_fno_1d,
     "fno_2d": import_fno_2d,
     "magnet_gnn": import_magnet_gnn,
+    "magnet_cnn_no_interaction": import_no_interaction,
 }
 
 

@@ -271,3 +271,64 @@ def test_import_magnet_gnn_structure():
     assert ref_shapes == imp_shapes
     loss, _ = m.loss(jax.tree.map(jnp.asarray, imported), batch, g, train=True)
     assert np.isfinite(float(loss))
+
+
+def test_import_no_interaction_structure():
+    rng = np.random.default_rng(4)
+    hp = dict(time_slice=16, use_lstm=True, lstm_hidden=16, lstm_layers=2,
+              mlp_layers=1, mlp_hidden=8, scales=1, n_chan=8, kernel_size=3,
+              res_layers=1, teacher_forcing=False, loss="l1")
+    H, ml, mh, nch, k = 16, 1, 8, 8, 3
+    sd = {}
+
+    def lin(name, i, o, bias=True):
+        sd[f"{name}.weight"] = rng.normal(size=(o, i)).astype(np.float32) * 0.1
+        if bias:
+            sd[f"{name}.bias"] = rng.normal(size=(o,)).astype(np.float32) * 0.1
+
+    def conv(name, i, o):
+        sd[f"{name}.weight"] = rng.normal(size=(o, i, k)).astype(np.float32) * 0.1
+        sd[f"{name}.bias"] = rng.normal(size=(o,)).astype(np.float32) * 0.1
+
+    conv("encoder.head_conv", hp["time_slice"], nch)
+    conv("encoder.res_layers.0.conv_1", nch, nch)
+    conv("encoder.res_layers.0.conv_2", nch, nch)
+    conv("encoder.tail_conv", nch, nch)
+    lin("proj_head", nch + 3 + 1 + H, H)
+    for pfx, in0 in (("lstm_encoder", 2 + H), ("lstm_decoder", 2 * H)):
+        for layer in range(2):
+            i_dim = in0 if layer == 0 else H
+            sd[f"{pfx}.weight_ih_l{layer}"] = rng.normal(size=(4 * H, i_dim)).astype(np.float32) * 0.1
+            sd[f"{pfx}.weight_hh_l{layer}"] = rng.normal(size=(4 * H, H)).astype(np.float32) * 0.1
+            sd[f"{pfx}.bias_ih_l{layer}"] = rng.normal(size=(4 * H,)).astype(np.float32) * 0.1
+            sd[f"{pfx}.bias_hh_l{layer}"] = rng.normal(size=(4 * H,)).astype(np.float32) * 0.1
+    lin("attn.0", 3 * H, H)
+    lin("attn.2", H, 1, bias=False)
+    sd["layernorm.weight"] = np.ones(H, np.float32)
+    sd["layernorm.bias"] = np.zeros(H, np.float32)
+    dims = [H] + [mh] * ml + [1]
+    for j in range(ml + 1):
+        lin(f"decoder.layers.{2 * j}", dims[j], dims[j + 1])
+
+    imported = import_state_dict("magnet_cnn_no_interaction", sd, hp)
+
+    B, nt, L, N = 2, 48, 32, 8
+    batch = {
+        "t": jnp.asarray(np.linspace(0, 1, nt, dtype=np.float32)[None].repeat(B, 0)),
+        "hr_frames": jnp.asarray(rng.normal(size=(B, nt, 1, L)).astype(np.float32)),
+        "hr_points": jnp.asarray(rng.normal(size=(B, nt, N, 1)).astype(np.float32)),
+        "coords": jnp.asarray(
+            np.sort(rng.uniform(-1, 1, (B, N, 1)).astype(np.float32), axis=1)
+        ),
+        "cells": jnp.asarray(np.full((B, N, 1), 2.0 / (2 * L), np.float32)),
+        "sample_idx": jnp.asarray(
+            np.stack([np.sort(rng.choice(L, N, replace=False)) for _ in range(B)])
+        ),
+    }
+    m = create_model("magnet_cnn_no_interaction", hp)
+    ref_params = m.init(jax.random.PRNGKey(0), batch, None)
+    ref_shapes = jax.tree.map(lambda a: tuple(a.shape), ref_params)
+    imp_shapes = jax.tree.map(lambda a: tuple(a.shape), jax.tree.map(jnp.asarray, imported))
+    assert ref_shapes == imp_shapes
+    loss, _ = m.loss(jax.tree.map(jnp.asarray, imported), batch, None, train=True)
+    assert np.isfinite(float(loss))
