@@ -53,45 +53,61 @@ class MAgNetCNN1DCore(fnn.Module):
 
     remat: bool = False
 
-    @fnn.compact
-    def __call__(self, x_t, coords, cell, t, hr_last, graph: Graph):
-        """
-        Args:
-          x_t: (B, T, C, L) LR frames, T == time_slice.
-          coords: (B, N, 1) HR query coords; cell: (B, N, 1).
-          t: (B, 2T) time coords for this window.
-          hr_last: (B, N, 1) last known HR values.
-          graph: batched radius graph over the L+N nodes.
-        Returns (out_hr (B,T,N,1), out_lr (B,T,L,1), hr_points (B,T,N,1)).
-        """
-        B, T, C, L = x_t.shape
-        N = coords.shape[1]
-        T_out = t.shape[-1] - T
-
-        # EDSR over feature-last layout
-        xx = x_t.reshape(B, T * C, L).transpose(0, 2, 1)           # (B, L, TC)
-        feat = EDSR(
+    def setup(self):
+        self.encoder = EDSR(
             n_chan=self.n_chan,
             res_layers=self.res_layers,
             kernel_size=self.kernel_size,
             res_scale=self.res_scale,
             ndim=1,
-            name="encoder",
-        )(xx)                                                      # (B, L, Cf)
-        feat_cl = feat.transpose(0, 2, 1)                          # (B, Cf, L)
-
-        inr = batch_vmap(
+        )
+        self.continuous_decoder = batch_vmap(
             INRDecoder1D,
             in_axes=(0, 0, 0, 0, 0),
             n_chan=self.n_chan,
             mlp_layers=self.mlp_layers,
             mlp_hidden=self.mlp_hidden,
-            name="continuous_decoder",
         )
-        z = inr(x_t, feat_cl, cell, coords, t)                     # (B, N, T, nc)
-        hr_points = MLP(
-            [self.mlp_hidden] * self.mlp_layers, 1, name="projector"
-        )(z)                                                       # (B, N, T, 1)
+        self.projector = MLP([self.mlp_hidden] * self.mlp_layers, 1)
+        self._encoder = batch_vmap(
+            GraphEncoder,
+            in_axes=(0, 0),
+            node_out=self.latent_dim,
+            edge_out=self.latent_dim,
+            mlp_layers=self.mlp_layers,
+            mlp_hidden=self.mlp_hidden,
+        )
+        self._processor = batch_vmap(
+            GraphProcessor,
+            in_axes=(0, 0, 0),
+            latent_dim=self.latent_dim,
+            num_steps=self.num_message_passing_steps,
+            remat=self.remat,
+            mlp_layers=self.mlp_layers,
+            mlp_hidden=self.mlp_hidden,
+        )
+        self._decoder = batch_vmap(
+            GraphDecoder,
+            in_axes=(0,),
+            node_out=self.time_slice,
+            mlp_layers=self.mlp_layers,
+            mlp_hidden=self.mlp_hidden,
+        )
+
+    # ---- staged pieces (reused by the graph-parallel execution path) -----
+    def graph_pre(self, x_t, coords, cell, t):
+        """EDSR + INR + projector + node/edge feature assembly.
+
+        Returns (node_feats (B, L+N, T+2), hr_points (B, N, T, 1),
+        all_feats (B, L+N, TC), all_coords (B, L+N, 1)).
+        """
+        B, T, C, L = x_t.shape
+        N = coords.shape[1]
+        xx = x_t.reshape(B, T * C, L).transpose(0, 2, 1)           # (B, L, TC)
+        feat = self.encoder(xx)                                    # (B, L, Cf)
+        feat_cl = feat.transpose(0, 2, 1)                          # (B, Cf, L)
+        z = self.continuous_decoder(x_t, feat_cl, cell, coords, t)  # (B, N, T, nc)
+        hr_points = self.projector(z)                              # (B, N, T, 1)
 
         # node features over LR ∪ HR (reference magnet_cnn.py:345-356)
         hr_flat = hr_points.reshape(B, N, T * C)
@@ -109,61 +125,64 @@ class MAgNetCNN1DCore(fnn.Module):
             ],
             axis=-1,
         )                                                          # (B, L+N, T+2)
+        return node_feats, hr_points, all_feats, all_coords
 
-        def edge_feats_fn(u, x, s, r):
+    @staticmethod
+    def edge_features(all_feats, all_coords, senders, receivers):
+        def ef(u, x, s, r):
             du = jnp.take(u, s, axis=0) - jnp.take(u, r, axis=0)
             dx = jnp.take(x, s, axis=0) - jnp.take(x, r, axis=0)
             return jnp.concatenate([du, dx], axis=-1)
 
-        edge_feats = jax.vmap(edge_feats_fn)(
-            all_feats, all_coords, graph.senders, graph.receivers
-        )                                                          # (B, E, T+1)
+        return jax.vmap(ef)(all_feats, all_coords, senders, receivers)
 
-        genc = batch_vmap(
-            GraphEncoder,
-            in_axes=(0, 0),
-            node_out=self.latent_dim,
-            edge_out=self.latent_dim,
-            mlp_layers=self.mlp_layers,
-            mlp_hidden=self.mlp_hidden,
-            name="_encoder",
-        )
-        gproc = batch_vmap(
-            GraphProcessor,
-            in_axes=(0, 0, 0),
-            latent_dim=self.latent_dim,
-            num_steps=self.num_message_passing_steps, remat=self.remat,
-            mlp_layers=self.mlp_layers,
-            mlp_hidden=self.mlp_hidden,
-            name="_processor",
-        )
-        gdec = batch_vmap(
-            GraphDecoder,
-            in_axes=(0,),
-            node_out=self.time_slice,
-            mlp_layers=self.mlp_layers,
-            mlp_hidden=self.mlp_hidden,
-            name="_decoder",
-        )
+    def graph_encode(self, node_feats, edge_feats):
+        return self._encoder(node_feats, edge_feats)
 
-        nf, ef = genc(node_feats, edge_feats)
-        nf, _ = gproc(nf, ef, graph)
-        ret = gdec(nf)                                             # (B, L+N, T_out)
+    def graph_process(self, nf, ef, graph: Graph):
+        nf, _ = self._processor(nf, ef, graph)
+        return nf
 
-        # Euler updates (reference magnet_cnn.py:364-374)
+    def graph_decode(self, nf):
+        return self._decoder(nf)
+
+    @staticmethod
+    def assemble_outputs(ret, x_t, hr_points, hr_last, t):
+        """Euler updates (reference magnet_cnn.py:364-374)."""
+        B, T, C, L = x_t.shape
         last_values = jnp.concatenate(
             [x_t[:, -1].transpose(0, 2, 1), hr_last], axis=1
         )                                                          # (B, L+N, 1)
         dt = t[:, T:] - t[:, T - 1 : T]                            # (B, T_out)
         outputs = (
-            last_values[:, None]                                   # (B, 1, L+N, 1)
+            last_values[:, None]
             + dt[:, :, None, None] * ret.transpose(0, 2, 1)[..., None]
         )                                                          # (B, T_out, L+N, 1)
-
         out_lr = outputs[:, :, :L]
         out_hr = outputs[:, :, L:]
         hr_points_t = hr_points.transpose(0, 2, 1, 3)              # (B, T, N, 1)
         return out_hr, out_lr, hr_points_t
+
+    def __call__(self, x_t, coords, cell, t, hr_last, graph: Graph):
+        """
+        Args:
+          x_t: (B, T, C, L) LR frames, T == time_slice.
+          coords: (B, N, 1) HR query coords; cell: (B, N, 1).
+          t: (B, 2T) time coords for this window.
+          hr_last: (B, N, 1) last known HR values.
+          graph: batched radius graph over the L+N nodes.
+        Returns (out_hr (B,T,N,1), out_lr (B,T,L,1), hr_points (B,T,N,1)).
+        """
+        node_feats, hr_points, all_feats, all_coords = self.graph_pre(
+            x_t, coords, cell, t
+        )
+        edge_feats = self.edge_features(
+            all_feats, all_coords, graph.senders, graph.receivers
+        )
+        nf, ef = self.graph_encode(node_feats, edge_feats)
+        nf = self.graph_process(nf, ef, graph)
+        ret = self.graph_decode(nf)                                # (B, L+N, T_out)
+        return self.assemble_outputs(ret, x_t, hr_points, hr_last, t)
 
 
 class MAgNetCNN1D:
@@ -214,6 +233,155 @@ class MAgNetCNN1D:
         return self.core.init(
             rng, x0, batch["coords"], batch["cells"], t0, hr0, graph
         )
+
+    # ---------- graph-parallel execution path ----------
+    def build_graph_partitioned(self, batch, n_shards: int):
+        """Host-side: per-sample radius graphs partitioned by receiver
+        block for the ``graph`` mesh axis.  The flat edge order is the
+        shard concatenation, so edge features computed on the flat list
+        reshape directly into per-shard blocks."""
+        from magnet_tpu.ops.graph import radius_graph_np
+        from magnet_tpu.parallel.graph_partition import partition_graph
+
+        coords = np.asarray(batch["coords"])                       # (B, N, 1)
+        L = batch["lr_frames"].shape[-1]
+        lr = make_coord_np_cached(L)
+        allc = np.concatenate(
+            [np.broadcast_to(lr[None], (coords.shape[0],) + lr.shape), coords],
+            axis=1,
+        )
+        bsz, n_node = allc.shape[:2]
+        raw = [
+            radius_graph_np(allc[b], self.radius, loop=True) for b in range(bsz)
+        ]
+        e_shard = k_max = 1
+        for s, t in raw:
+            sg = partition_graph(s, t, n_node, n_shards)
+            e_shard = max(e_shard, sg.senders.shape[1])
+            k_max = max(k_max, sg.recv_edge_ids.shape[2])
+        e_shard = ((e_shard + 127) // 128) * 128
+        sgs = [
+            partition_graph(s, t, n_node, n_shards, e_shard=e_shard, k_max=k_max)
+            for s, t in raw
+        ]
+        ns = sgs[0].n_node_pad // n_shards
+        shard_off = (np.arange(n_shards, dtype=np.int32) * ns)[None, :, None]
+        senders = np.stack([g.senders for g in sgs])               # (B,G,E_s)
+        recv_loc = np.stack([g.receivers_loc for g in sgs])
+        mask = np.stack([g.edge_mask for g in sgs])
+        table = np.stack([g.recv_edge_ids for g in sgs])
+        return {
+            "senders": jnp.asarray(senders),
+            "recv_loc": jnp.asarray(recv_loc),
+            "mask": jnp.asarray(mask),
+            "table": jnp.asarray(table),
+            "senders_flat": jnp.asarray(senders.reshape(bsz, -1)),
+            "receivers_flat": jnp.asarray(
+                (recv_loc + shard_off).reshape(bsz, -1)
+            ),
+            "n_node": n_node,
+            "n_node_pad": sgs[0].n_node_pad,
+            "n_shards": n_shards,
+        }
+
+    def forward_partitioned(self, params, x_t, coords, cell, t, hr_last,
+                            pg, mesh):
+        """Per-window forward with the GraphProcessor edge-partitioned over
+        the mesh's ``graph`` axis (same math as __call__)."""
+        from magnet_tpu.nn.graphnet import InteractionNetwork
+        from magnet_tpu.parallel.graph_partition import (
+            interaction_step_local,
+            make_partitioned_processor,
+        )
+
+        core = self.core
+        apply = lambda method, *a: core.apply(params, *a, method=method)
+        node_feats, hr_points, all_feats, all_coords = apply(
+            "graph_pre", x_t, coords, cell, t
+        )
+        edge_feats = MAgNetCNN1DCore.edge_features(
+            all_feats, all_coords, pg["senders_flat"], pg["receivers_flat"]
+        )
+        nf, ef = apply("graph_encode", node_feats, edge_feats)
+
+        B = nf.shape[0]
+        latent = nf.shape[-1]
+        n_pad = pg["n_node_pad"]
+        nf_pad = jnp.pad(nf, ((0, 0), (0, n_pad - nf.shape[1]), (0, 0)))
+        g_shards = pg["n_shards"]
+        ef_sh = ef.reshape(B, g_shards, -1, latent)
+
+        inet = InteractionNetwork(
+            node_out=latent, edge_out=latent,
+            mlp_layers=core.mlp_layers, mlp_hidden=core.mlp_hidden,
+        )
+        stacked = params["params"]["_processor"]["steps"]["step"]
+        step_params = [
+            {"params": jax.tree.map(lambda a: a[i], stacked)}
+            for i in range(core.num_message_passing_steps)
+        ]
+
+        def iapply(params_i, x_full, e, senders, recv_loc, mask, table):
+            return interaction_step_local(
+                inet, params_i, x_full, e, senders, recv_loc, mask, table
+            )
+
+        runner = make_partitioned_processor(
+            iapply, core.num_message_passing_steps, mesh
+        )
+        nf_out, _ = runner(
+            step_params, nf_pad, ef_sh,
+            pg["senders"], pg["recv_loc"], pg["mask"], pg["table"],
+        )
+        nf_out = nf_out[:, : nf.shape[1]]
+        ret = apply("graph_decode", nf_out)
+        return MAgNetCNN1DCore.assemble_outputs(ret, x_t, hr_points, hr_last, t)
+
+    def loss_partitioned(self, params, batch, pg, mesh, rng=None,
+                         train: bool = True):
+        """Training/val loss with the graph-parallel forward (rollout via
+        python loop over windows; window count is small and the partitioned
+        runner is shard_map'd per call)."""
+        ts = self.time_slice
+        u, uv = batch["lr_frames"], batch["hr_points"]
+        t = batch["t"]
+        B, nt, C, L = u.shape
+        n_win = (nt - ts) // ts
+        used = (n_win + 1) * ts
+
+        inp = u[:, :ts]
+        hr_last = uv[:, ts - 1]
+        hr_hat, lr_hat, pts = [], [], []
+        for i in range(n_win):
+            tw = t[:, i * ts : (i + 2) * ts]
+            out_hr, out_lr, hr_pts = self.forward_partitioned(
+                params, inp, batch["coords"], batch["cells"], tw, hr_last,
+                pg, mesh,
+            )
+            hr_hat.append(out_hr)
+            lr_hat.append(out_lr)
+            pts.append(hr_pts)
+            if self.teacher_forcing and train:
+                inp = u[:, (i + 1) * ts : (i + 2) * ts]
+                hr_last = uv[:, (i + 2) * ts - 1]
+            else:
+                inp = out_lr.transpose(0, 1, 3, 2)
+                hr_last = out_hr[:, -1]
+        hr_hat = jnp.concatenate(hr_hat, axis=1)
+        lr_hat = jnp.concatenate(lr_hat, axis=1)
+        pts = jnp.concatenate(pts, axis=1)
+
+        y_hat = jnp.concatenate([hr_hat, lr_hat], axis=2)
+        target = jnp.concatenate(
+            [uv[:, ts:used], u[:, ts:used].transpose(0, 1, 3, 2)], axis=2
+        )
+        interp_target = uv[:, : used - ts]
+        loss = self.criterion(y_hat, target) + self.criterion(pts, interp_target)
+        return loss, {
+            "loss": loss,
+            "mae_loss": l1_loss(y_hat, target),
+            "interp_loss": l1_loss(pts, interp_target),
+        }
 
     # ---------- device-side ----------
     def _rollout(self, params, batch, graph: Graph, teacher_forcing: bool,

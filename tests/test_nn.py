@@ -192,3 +192,17 @@ def test_interaction_network_split_equals_concat():
     np.testing.assert_allclose(
         np.asarray(out_x), np.asarray(x + upd), rtol=2e-4, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("tw", [10, 16, 20, 25, 50])
+def test_temporal_decoder_table_all_windows(tw):
+    """Every reference time_window decoder variant maps 128 -> tw
+    (reference mpnn.py:140-163 kernel/stride table)."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    dec = TemporalBundlingDecoder(time_window=tw, with_mid_swish=tw != 10)
+    h = _jnp.zeros((3, 128))
+    params = dec.init(_jax.random.PRNGKey(0), h)
+    out = dec.apply(params, h)
+    assert out.shape == (3, tw)
