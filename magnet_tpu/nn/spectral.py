@@ -2,8 +2,13 @@
 
 Reference: models/fno_1d.py:13-59 and models/fno_2d.py:11-47 (cuFFT there,
 ``jnp.fft`` -> XLA FFT here).  Complex weights are stored as separate
-real/imag parameters (TPU has no complex params) initialized like
-``torch.rand(dtype=cfloat)``: real and imag each ~ U(0,1) * scale.
+real/imag parameters initialized like ``torch.rand(dtype=cfloat)``: real
+and imag each ~ U(0,1) * scale.
+
+TPU note: the mode-mixing contraction is computed in REAL arithmetic
+(4 f32 einsums per block, (a+bi)(c+di) = (ac-bd) + (ad+bc)i) — complex
+matmuls are unsupported on the TPU backend and real einsums ride the MXU.
+The FFTs themselves run complex (supported).
 """
 from __future__ import annotations
 
@@ -19,6 +24,15 @@ def _rand_uniform(scale):
     return init
 
 
+def _cmul_einsum(eq, xr, xi, wr, wi):
+    """Complex contraction via real einsums: (xr+ixi) . (wr+iwi)."""
+    rr = jnp.einsum(eq, xr, wr)
+    ii = jnp.einsum(eq, xi, wi)
+    ri = jnp.einsum(eq, xr, wi)
+    ir = jnp.einsum(eq, xi, wr)
+    return rr - ii, ri + ir
+
+
 class SpectralConv1d(fnn.Module):
     """rfft -> per-mode complex channel mix -> irfft.  Input (B, C, L)."""
 
@@ -32,16 +46,16 @@ class SpectralConv1d(fnn.Module):
         shape = (self.in_channels, self.out_channels, self.modes)
         wr = self.param("weights_real", _rand_uniform(scale), shape)
         wi = self.param("weights_imag", _rand_uniform(scale), shape)
-        w = wr + 1j * wi
 
         l = x.shape[-1]
         x_ft = jnp.fft.rfft(x)                               # (B, C, L//2+1)
-        out_modes = jnp.einsum("bix,iox->box", x_ft[:, :, : self.modes], w)
-        out_ft = jnp.zeros(
-            (x.shape[0], self.out_channels, l // 2 + 1), dtype=out_modes.dtype
-        )
-        out_ft = out_ft.at[:, :, : self.modes].set(out_modes)
-        return jnp.fft.irfft(out_ft, n=l)
+        xr = jnp.real(x_ft[:, :, : self.modes])
+        xi = jnp.imag(x_ft[:, :, : self.modes])
+        outr, outi = _cmul_einsum("bix,iox->box", xr, xi, wr, wi)
+        pad = l // 2 + 1 - self.modes
+        outr = jnp.pad(outr, ((0, 0), (0, 0), (0, pad)))
+        outi = jnp.pad(outi, ((0, 0), (0, 0), (0, pad)))
+        return jnp.fft.irfft(jax.lax.complex(outr, outi), n=l)
 
 
 class SpectralConv2d(fnn.Module):
@@ -63,17 +77,39 @@ class SpectralConv2d(fnn.Module):
         w1i = self.param("weights1_imag", _rand_uniform(scale), shape)
         w2r = self.param("weights2_real", _rand_uniform(scale), shape)
         w2i = self.param("weights2_imag", _rand_uniform(scale), shape)
-        w1 = w1r + 1j * w1i
-        w2 = w2r + 1j * w2i
 
         b, c, h, wd = x.shape
         x_ft = jnp.fft.rfft2(x)                              # (B, C, H, W//2+1)
         m1, m2 = self.modes1, self.modes2
-        top = jnp.einsum("bixy,ioxy->boxy", x_ft[:, :, :m1, :m2], w1)
-        bot = jnp.einsum("bixy,ioxy->boxy", x_ft[:, :, -m1:, :m2], w2)
-        out_ft = jnp.zeros(
-            (b, self.out_channels, h, wd // 2 + 1), dtype=top.dtype
+        wlen = wd // 2 + 1
+
+        tr, ti = _cmul_einsum(
+            "bixy,ioxy->boxy",
+            jnp.real(x_ft[:, :, :m1, :m2]), jnp.imag(x_ft[:, :, :m1, :m2]),
+            w1r, w1i,
         )
-        out_ft = out_ft.at[:, :, :m1, :m2].set(top)
-        out_ft = out_ft.at[:, :, -m1:, :m2].set(bot)
-        return jnp.fft.irfft2(out_ft, s=(h, wd))
+        br_, bi_ = _cmul_einsum(
+            "bixy,ioxy->boxy",
+            jnp.real(x_ft[:, :, -m1:, :m2]), jnp.imag(x_ft[:, :, -m1:, :m2]),
+            w2r, w2i,
+        )
+        # assemble (B, Cout, H, wlen): top block rows [0, m1), bottom rows
+        # [h-m1, h), cols [0, m2)
+        mid = h - 2 * m1
+        outr = jnp.concatenate(
+            [
+                jnp.pad(tr, ((0, 0), (0, 0), (0, 0), (0, wlen - m2))),
+                jnp.zeros((b, self.out_channels, mid, wlen), tr.dtype),
+                jnp.pad(br_, ((0, 0), (0, 0), (0, 0), (0, wlen - m2))),
+            ],
+            axis=2,
+        )
+        outi = jnp.concatenate(
+            [
+                jnp.pad(ti, ((0, 0), (0, 0), (0, 0), (0, wlen - m2))),
+                jnp.zeros((b, self.out_channels, mid, wlen), ti.dtype),
+                jnp.pad(bi_, ((0, 0), (0, 0), (0, 0), (0, wlen - m2))),
+            ],
+            axis=2,
+        )
+        return jnp.fft.irfft2(jax.lax.complex(outr, outi), s=(h, wd))
