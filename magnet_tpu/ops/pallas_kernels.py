@@ -26,6 +26,8 @@ TILE_N = 128  # nodes per tile (MXU-aligned)
 def _use_pallas() -> bool:
     if os.environ.get("MAGNET_TPU_NO_PALLAS"):
         return False
+    if os.environ.get("MAGNET_TPU_PALLAS_INTERPRET"):
+        return True  # interpret-mode (CI coverage of the kernel on CPU)
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
@@ -67,6 +69,7 @@ def _pallas_impl(msgs, recv_local, mask, tile_n):
     return pl.pallas_call(
         kernel,
         grid=(T,),
+        interpret=bool(os.environ.get("MAGNET_TPU_PALLAS_INTERPRET")),
         in_specs=[
             pl.BlockSpec((1, E, C), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),

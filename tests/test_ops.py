@@ -211,3 +211,23 @@ def test_blocked_aggregation_matches_table():
     assert np.isfinite(np.asarray(g)).all()
     # padded slots must get zero grad
     assert float(jnp.abs(g * (1 - gs.edge_mask[:, None])).max()) == 0.0
+
+
+def test_pallas_kernel_interpret_matches_einsum(monkeypatch):
+    """Run the actual Pallas kernel (interpret mode on CPU) against the
+    einsum fallback."""
+    import importlib
+
+    from magnet_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(12)
+    T, E, C = 2, 256, 8
+    msgs = jnp.asarray(rng.normal(size=(T, E, C)).astype(np.float32))
+    recv = jnp.asarray(rng.integers(0, 128, size=(T, E)).astype(np.int32))
+    mask = jnp.asarray((rng.uniform(size=(T, E)) > 0.2).astype(np.float32))
+
+    ref = pk._einsum_impl(msgs, recv, mask, 128)
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    out = pk._pallas_impl(msgs, recv, mask, 128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
