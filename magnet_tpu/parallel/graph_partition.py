@@ -194,3 +194,168 @@ def interaction_step_local(module, params, x_full, e, senders, recv_loc,
     upd_in = jnp.concatenate([agg, x_local], axis=-1)
     upd = module.apply(params, upd_in, method="node_mlp")
     return x_local + upd, e + e
+
+
+# --------------------------------------------------------------------------
+# Halo-exchange variant: instead of all-gathering full node features every
+# mp step, each shard exchanges only the boundary rows its edges reference
+# (volume O(halo) instead of O(N) — the win grows with shard count for
+# spatially-partitioned meshes).
+
+
+@dataclasses.dataclass
+class HaloGraph(ShardedGraph):
+    """ShardedGraph + halo exchange plan.
+
+    halo_idx:      (G_src, G_dst, H_pad) int32 — LOCAL row indices within
+                   shard g_src to send to g_dst (pad -> 0).
+    senders_remap: (G, E_s) int32 — sender position in the extended local
+                   space [0, ns) local ∪ [ns + src*H_pad + slot) halo.
+    """
+
+    halo_idx: np.ndarray | None = None
+    senders_remap: np.ndarray | None = None
+
+    @property
+    def h_pad(self) -> int:
+        return int(self.halo_idx.shape[2])
+
+
+def partition_graph_halo(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    n_node: int,
+    n_shards: int,
+    e_shard: int | None = None,
+    k_max: int | None = None,
+) -> HaloGraph:
+    base = partition_graph(senders, receivers, n_node, n_shards, e_shard, k_max)
+    g = n_shards
+    ns = base.n_node_pad // g
+
+    # per (src, dst) unique sender nodes living in src needed by dst's edges
+    need: list[list[np.ndarray]] = [[None] * g for _ in range(g)]
+    h_pad = 1
+    for dst in range(g):
+        s_dst = base.senders[dst][base.edge_mask[dst] > 0]
+        for src in range(g):
+            if src == dst:
+                need[src][dst] = np.zeros(0, np.int64)
+                continue
+            sel = s_dst[(s_dst // ns) == src]
+            uniq = np.unique(sel)
+            need[src][dst] = uniq
+            h_pad = max(h_pad, len(uniq))
+    h_pad = ((h_pad + 7) // 8) * 8
+
+    halo_idx = np.zeros((g, g, h_pad), np.int32)
+    slot_of: list[dict] = [dict() for _ in range(g)]  # per dst: global -> ext idx
+    for src in range(g):
+        for dst in range(g):
+            uniq = need[src][dst]
+            halo_idx[src, dst, : len(uniq)] = uniq - src * ns
+            for pos, n_glob in enumerate(uniq):
+                slot_of[dst][int(n_glob)] = ns + src * h_pad + pos
+
+    e_s = base.senders.shape[1]
+    remap = np.zeros((g, e_s), np.int32)
+    for dst in range(g):
+        for e in range(e_s):
+            if base.edge_mask[dst, e] == 0:
+                continue
+            sg = int(base.senders[dst, e])
+            if sg // ns == dst:
+                remap[dst, e] = sg - dst * ns
+            else:
+                remap[dst, e] = slot_of[dst][sg]
+
+    return HaloGraph(
+        senders=base.senders,
+        receivers_loc=base.receivers_loc,
+        edge_mask=base.edge_mask,
+        recv_edge_ids=base.recv_edge_ids,
+        n_node_pad=base.n_node_pad,
+        n_node=base.n_node,
+        halo_idx=halo_idx,
+        senders_remap=remap,
+    )
+
+
+def interaction_step_halo(module, params, x_local, x_ext, e, senders_remap,
+                          recv_loc, mask, table):
+    """InteractionNetwork step on one shard with halo-extended sender space.
+
+    x_local: (ns, C) this shard's rows; x_ext: (ns + G*H_pad, C) local rows
+    followed by received halo rows; senders_remap indexes x_ext.
+    """
+    from magnet_tpu.ops.segment import aggregate_mean
+
+    x_i = jnp.take(x_local, recv_loc, axis=0)
+    x_j = jnp.take(x_ext, senders_remap, axis=0)
+    msg_in = jnp.concatenate([x_i, x_j, e], axis=-1)
+    msg = module.apply(params, msg_in, method="edge_mlp")
+    agg = aggregate_mean(msg, table, mask)
+    upd_in = jnp.concatenate([agg, x_local], axis=-1)
+    upd = module.apply(params, upd_in, method="node_mlp")
+    return x_local + upd, e + e
+
+
+def make_partitioned_processor_halo(interaction_apply, num_steps: int,
+                                    mesh: Mesh):
+    """Like :func:`make_partitioned_processor` but communicates only halo
+    rows per mp step via ``all_to_all`` over the ``graph`` axis.
+
+    interaction_apply: fn(params_i, x_local, x_ext, e, senders_remap,
+    recv_loc, mask, table) for ONE shard of ONE sample.
+
+    Call signature of the returned fn:
+      (params_list, x (B, N_pad, C), e (B, G, E_s, C),
+       senders_remap (B, G, E_s), recv_loc (B, G, E_s), mask (B, G, E_s),
+       table (B, G, ns, K), halo_idx (G, G, H_pad))
+    """
+
+    def run(params_list, x, e, senders_remap, recv_loc, mask, table, halo_idx):
+        def body(params_list, x, e, senders_remap, recv_loc, mask, table,
+                 halo_idx):
+            # per-device blocks: x (b, ns, C); e etc (b, 1, ...);
+            # halo_idx (1, G, H_pad)
+            e = e[:, 0]
+            senders_remap = senders_remap[:, 0]
+            recv_loc = recv_loc[:, 0]
+            mask = mask[:, 0]
+            table = table[:, 0]
+            my_halo = halo_idx[0]                              # (G, H_pad)
+
+            for step in range(num_steps):
+                # send the rows each destination needs: (b, G, H_pad, C)
+                send = jnp.take(x, my_halo.reshape(-1), axis=1).reshape(
+                    x.shape[0], my_halo.shape[0], my_halo.shape[1], x.shape[-1]
+                )
+                recv = jax.lax.all_to_all(
+                    send, "graph", split_axis=1, concat_axis=1, tiled=False
+                )                                              # (b, G, H_pad, C)
+                x_ext = jnp.concatenate(
+                    [x, recv.reshape(x.shape[0], -1, x.shape[-1])], axis=1
+                )
+                x, e = jax.vmap(
+                    partial(interaction_apply, params_list[step])
+                )(x, x_ext, e, senders_remap, recv_loc, mask, table)
+            return x, e[:, None]
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                P(),
+                P("dp", "graph"),          # x
+                P("dp", "graph"),          # e
+                P("dp", "graph"),
+                P("dp", "graph"),
+                P("dp", "graph"),
+                P("dp", "graph"),
+                P("graph",),               # halo_idx: rows per src shard
+            ),
+            out_specs=(P("dp", "graph"), P("dp", "graph")),
+        )(params_list, x, e, senders_remap, recv_loc, mask, table, halo_idx)
+
+    return run

@@ -167,3 +167,79 @@ def test_flagship_graph_parallel_matches_standard():
     ref_n = float(sum(jnp.sum(x**2) for x in jax.tree.leaves(gref)) ** 0.5)
     par_n = float(sum(jnp.sum(x**2) for x in jax.tree.leaves(gpar)) ** 0.5)
     np.testing.assert_allclose(par_n, ref_n, rtol=5e-3)
+
+
+def test_halo_processor_matches_allgather():
+    """Halo-exchange (all_to_all, boundary rows only) == all-gather
+    partitioned processor == single device."""
+    from magnet_tpu.parallel.graph_partition import (
+        interaction_step_halo,
+        make_partitioned_processor_halo,
+        partition_graph_halo,
+    )
+
+    s, t, n = _setup_graph(n=32, seed=3)
+    B, G, DP = 2, 4, 2
+    mesh = make_mesh(dp=DP, graph=G)
+    rng = np.random.default_rng(5)
+
+    hg = partition_graph_halo(s, t, n, G)
+    n_pad = hg.n_node_pad
+    e_shard = hg.senders.shape[1]
+    x = rng.normal(size=(B, n_pad, LATENT)).astype(np.float32)
+    e_feats = rng.normal(size=(B, G, e_shard, LATENT)).astype(np.float32)
+
+    inet = InteractionNetwork(
+        node_out=LATENT, edge_out=LATENT, mlp_layers=2, mlp_hidden=LATENT
+    )
+    from magnet_tpu.models.common import Graph as GraphNT
+
+    g1 = pad_graph(s, t, n_pad, e_pad=len(s))
+    gs1 = GraphNT(
+        senders=jnp.asarray(g1.senders),
+        receivers=jnp.asarray(g1.receivers),
+        edge_mask=jnp.asarray(g1.edge_mask),
+        recv_edge_ids=jnp.asarray(g1.recv_edge_ids),
+    )
+    step_params = [
+        inet.init(jax.random.PRNGKey(i), jnp.asarray(x[0]),
+                  jnp.zeros((len(s), LATENT)), gs1)
+        for i in range(STEPS)
+    ]
+
+    # reference: all-gather runner
+    def iapply_ag(params_i, x_full, ee, senders, recv_loc, mask, table):
+        return interaction_step_local(
+            inet, params_i, x_full, ee, senders, recv_loc, mask, table
+        )
+
+    runner_ag = make_partitioned_processor(iapply_ag, STEPS, mesh)
+    ed = NamedSharding(mesh, P("dp", "graph"))
+    xs = jax.device_put(jnp.asarray(x), ed)
+    es = jax.device_put(jnp.asarray(e_feats), ed)
+    bargs = lambda a: jax.device_put(
+        jnp.broadcast_to(jnp.asarray(a)[None], (B,) + a.shape), ed
+    )
+    out_ag, _ = jax.jit(runner_ag)(
+        step_params, xs, es,
+        bargs(hg.senders), bargs(hg.receivers_loc), bargs(hg.edge_mask),
+        bargs(hg.recv_edge_ids),
+    )
+
+    # halo runner
+    def iapply_halo(params_i, x_local, x_ext, ee, remap, recv_loc, mask, table):
+        return interaction_step_halo(
+            inet, params_i, x_local, x_ext, ee, remap, recv_loc, mask, table
+        )
+
+    runner_halo = make_partitioned_processor_halo(iapply_halo, STEPS, mesh)
+    hs = NamedSharding(mesh, P("graph"))
+    out_halo, _ = jax.jit(runner_halo)(
+        step_params, xs, es,
+        bargs(hg.senders_remap), bargs(hg.receivers_loc), bargs(hg.edge_mask),
+        bargs(hg.recv_edge_ids),
+        jax.device_put(jnp.asarray(hg.halo_idx), hs),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_halo), np.asarray(out_ag), rtol=2e-5, atol=2e-6
+    )
