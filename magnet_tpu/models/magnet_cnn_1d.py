@@ -235,13 +235,19 @@ class MAgNetCNN1D:
         )
 
     # ---------- graph-parallel execution path ----------
-    def build_graph_partitioned(self, batch, n_shards: int):
+    def build_graph_partitioned(self, batch, n_shards: int,
+                                halo: bool = False):
         """Host-side: per-sample radius graphs partitioned by receiver
         block for the ``graph`` mesh axis.  The flat edge order is the
         shard concatenation, so edge features computed on the flat list
-        reshape directly into per-shard blocks."""
+        reshape directly into per-shard blocks.  With ``halo=True`` a
+        boundary-exchange plan replaces the per-step all-gather (same
+        H_pad across the batch; the halo plan is per-sample)."""
         from magnet_tpu.ops.graph import radius_graph_np
-        from magnet_tpu.parallel.graph_partition import partition_graph
+        from magnet_tpu.parallel.graph_partition import (
+            partition_graph,
+            partition_graph_halo,
+        )
 
         coords = np.asarray(batch["coords"])                       # (B, N, 1)
         L = batch["lr_frames"].shape[-1]
@@ -260,8 +266,9 @@ class MAgNetCNN1D:
             e_shard = max(e_shard, sg.senders.shape[1])
             k_max = max(k_max, sg.recv_edge_ids.shape[2])
         e_shard = ((e_shard + 127) // 128) * 128
+        part = partition_graph_halo if halo else partition_graph
         sgs = [
-            partition_graph(s, t, n_node, n_shards, e_shard=e_shard, k_max=k_max)
+            part(s, t, n_node, n_shards, e_shard=e_shard, k_max=k_max)
             for s, t in raw
         ]
         ns = sgs[0].n_node_pad // n_shards
@@ -270,7 +277,7 @@ class MAgNetCNN1D:
         recv_loc = np.stack([g.receivers_loc for g in sgs])
         mask = np.stack([g.edge_mask for g in sgs])
         table = np.stack([g.recv_edge_ids for g in sgs])
-        return {
+        out = {
             "senders": jnp.asarray(senders),
             "recv_loc": jnp.asarray(recv_loc),
             "mask": jnp.asarray(mask),
@@ -283,6 +290,30 @@ class MAgNetCNN1D:
             "n_node_pad": sgs[0].n_node_pad,
             "n_shards": n_shards,
         }
+        if halo:
+            # per-sample halo plans share H_pad (batch max, padded)
+            h_pad = max(g.halo_idx.shape[2] for g in sgs)
+            halo_idx = np.zeros(
+                (bsz, n_shards, n_shards, h_pad), np.int32
+            )
+            for b, g in enumerate(sgs):
+                halo_idx[b, :, :, : g.halo_idx.shape[2]] = g.halo_idx
+            # remap values depend on H_pad (slot = ns + src*H_pad + pos):
+            # recompute with the shared pad by re-running with h_pad... the
+            # per-sample remap used its own H_pad; adjust offsets
+            remap = np.stack([g.senders_remap for g in sgs])
+            for b, g in enumerate(sgs):
+                own = g.halo_idx.shape[2]
+                if own != h_pad:
+                    halo_slots = remap[b] >= ns
+                    src = (remap[b] - ns) // own
+                    pos = (remap[b] - ns) % own
+                    remap[b] = np.where(
+                        halo_slots, ns + src * h_pad + pos, remap[b]
+                    )
+            out["halo_idx"] = jnp.asarray(halo_idx)
+            out["senders_remap"] = jnp.asarray(remap)
+        return out
 
     def forward_partitioned(self, params, x_t, coords, cell, t, hr_last,
                             pg, mesh):
@@ -290,8 +321,10 @@ class MAgNetCNN1D:
         the mesh's ``graph`` axis (same math as __call__)."""
         from magnet_tpu.nn.graphnet import InteractionNetwork
         from magnet_tpu.parallel.graph_partition import (
+            interaction_step_halo,
             interaction_step_local,
             make_partitioned_processor,
+            make_partitioned_processor_halo,
         )
 
         core = self.core
@@ -321,18 +354,36 @@ class MAgNetCNN1D:
             for i in range(core.num_message_passing_steps)
         ]
 
-        def iapply(params_i, x_full, e, senders, recv_loc, mask, table):
-            return interaction_step_local(
-                inet, params_i, x_full, e, senders, recv_loc, mask, table
-            )
+        if "halo_idx" in pg:
+            def iapply_h(params_i, x_local, x_ext, e, remap, recv_loc, mask,
+                         table):
+                return interaction_step_halo(
+                    inet, params_i, x_local, x_ext, e, remap, recv_loc,
+                    mask, table,
+                )
 
-        runner = make_partitioned_processor(
-            iapply, core.num_message_passing_steps, mesh
-        )
-        nf_out, _ = runner(
-            step_params, nf_pad, ef_sh,
-            pg["senders"], pg["recv_loc"], pg["mask"], pg["table"],
-        )
+            runner = make_partitioned_processor_halo(
+                iapply_h, core.num_message_passing_steps, mesh,
+                batched_halo=True,
+            )
+            nf_out, _ = runner(
+                step_params, nf_pad, ef_sh,
+                pg["senders_remap"], pg["recv_loc"], pg["mask"], pg["table"],
+                pg["halo_idx"],
+            )
+        else:
+            def iapply(params_i, x_full, e, senders, recv_loc, mask, table):
+                return interaction_step_local(
+                    inet, params_i, x_full, e, senders, recv_loc, mask, table
+                )
+
+            runner = make_partitioned_processor(
+                iapply, core.num_message_passing_steps, mesh
+            )
+            nf_out, _ = runner(
+                step_params, nf_pad, ef_sh,
+                pg["senders"], pg["recv_loc"], pg["mask"], pg["table"],
+            )
         nf_out = nf_out[:, : nf.shape[1]]
         ret = apply("graph_decode", nf_out)
         return MAgNetCNN1DCore.assemble_outputs(ret, x_t, hr_points, hr_last, t)

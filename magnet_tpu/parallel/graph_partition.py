@@ -301,7 +301,7 @@ def interaction_step_halo(module, params, x_local, x_ext, e, senders_remap,
 
 
 def make_partitioned_processor_halo(interaction_apply, num_steps: int,
-                                    mesh: Mesh):
+                                    mesh: Mesh, batched_halo: bool = False):
     """Like :func:`make_partitioned_processor` but communicates only halo
     rows per mp step via ``all_to_all`` over the ``graph`` axis.
 
@@ -311,37 +311,48 @@ def make_partitioned_processor_halo(interaction_apply, num_steps: int,
     Call signature of the returned fn:
       (params_list, x (B, N_pad, C), e (B, G, E_s, C),
        senders_remap (B, G, E_s), recv_loc (B, G, E_s), mask (B, G, E_s),
-       table (B, G, ns, K), halo_idx (G, G, H_pad))
+       table (B, G, ns, K), halo_idx) where halo_idx is (G, G, H_pad)
+    shared across the batch, or (B, G, G, H_pad) per-sample when
+    ``batched_halo`` (the first G axis = SOURCE shard, sharded over
+    'graph'; per-sample halo also shards the batch over 'dp').
     """
 
     def run(params_list, x, e, senders_remap, recv_loc, mask, table, halo_idx):
         def body(params_list, x, e, senders_remap, recv_loc, mask, table,
                  halo_idx):
             # per-device blocks: x (b, ns, C); e etc (b, 1, ...);
-            # halo_idx (1, G, H_pad)
+            # halo_idx (1, G, H_pad) or (b, 1, G, H_pad)
             e = e[:, 0]
             senders_remap = senders_remap[:, 0]
             recv_loc = recv_loc[:, 0]
             mask = mask[:, 0]
             table = table[:, 0]
-            my_halo = halo_idx[0]                              # (G, H_pad)
+            b = x.shape[0]
+            if batched_halo:
+                my_halo = halo_idx[:, 0]                       # (b, G, H_pad)
+            else:
+                my_halo = jnp.broadcast_to(
+                    halo_idx[0][None], (b,) + halo_idx[0].shape
+                )
+            g, h_pad = my_halo.shape[1:]
 
             for step in range(num_steps):
                 # send the rows each destination needs: (b, G, H_pad, C)
-                send = jnp.take(x, my_halo.reshape(-1), axis=1).reshape(
-                    x.shape[0], my_halo.shape[0], my_halo.shape[1], x.shape[-1]
-                )
+                send = jax.vmap(
+                    lambda xx, hh: jnp.take(xx, hh.reshape(-1), axis=0)
+                )(x, my_halo).reshape(b, g, h_pad, x.shape[-1])
                 recv = jax.lax.all_to_all(
                     send, "graph", split_axis=1, concat_axis=1, tiled=False
                 )                                              # (b, G, H_pad, C)
                 x_ext = jnp.concatenate(
-                    [x, recv.reshape(x.shape[0], -1, x.shape[-1])], axis=1
+                    [x, recv.reshape(b, -1, x.shape[-1])], axis=1
                 )
                 x, e = jax.vmap(
                     partial(interaction_apply, params_list[step])
                 )(x, x_ext, e, senders_remap, recv_loc, mask, table)
             return x, e[:, None]
 
+        halo_spec = P("dp", "graph") if batched_halo else P("graph")
         return shard_map(
             body,
             mesh=mesh,
@@ -353,7 +364,7 @@ def make_partitioned_processor_halo(interaction_apply, num_steps: int,
                 P("dp", "graph"),
                 P("dp", "graph"),
                 P("dp", "graph"),
-                P("graph",),               # halo_idx: rows per src shard
+                halo_spec,                 # halo_idx: rows per src shard
             ),
             out_specs=(P("dp", "graph"), P("dp", "graph")),
         )(params_list, x, e, senders_remap, recv_loc, mask, table, halo_idx)

@@ -243,3 +243,45 @@ def test_halo_processor_matches_allgather():
     np.testing.assert_allclose(
         np.asarray(out_halo), np.asarray(out_ag), rtol=2e-5, atol=2e-6
     )
+
+
+def test_flagship_halo_matches_standard():
+    """Flagship graph-parallel path with HALO exchange == standard path."""
+    from magnet_tpu.models.factory import create_model
+
+    rng = np.random.default_rng(7)
+    B, nt, L, N = 2, 48, 32, 16
+    batch = {
+        "t": jnp.asarray(np.linspace(0, 1, nt, dtype=np.float32)[None].repeat(B, 0)),
+        "lr_frames": jnp.asarray(rng.normal(size=(B, nt, 1, L)).astype(np.float32)),
+        "hr_points": jnp.asarray(rng.normal(size=(B, nt, N, 1)).astype(np.float32)),
+        "coords": jnp.asarray(
+            np.sort(rng.uniform(-1, 1, (B, N, 1)).astype(np.float32), axis=1)
+        ),
+        "cells": jnp.asarray(np.full((B, N, 1), 2.0 / (2 * L), np.float32)),
+    }
+    m = create_model(
+        "magnet_cnn",
+        dict(time_slice=16, latent_dim=8, num_message_passing_steps=2,
+             mlp_layers=2, mlp_hidden=16, n_chan=16, res_layers=1,
+             radius=0.3, teacher_forcing=True, loss="l1"),
+    )
+    g = m.build_graph(batch)
+    params = m.init(jax.random.PRNGKey(0), batch, g)
+    ref_loss, _ = m.loss(params, batch, g, train=True)
+
+    mesh = make_mesh(dp=2, graph=4)
+    pg = m.build_graph_partitioned(batch, n_shards=4, halo=True)
+    bs = NamedSharding(mesh, P("dp"))
+    batch_sh = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    eg = NamedSharding(mesh, P("dp", "graph"))
+    for k in ("senders", "recv_loc", "mask", "table", "senders_remap"):
+        pg[k] = jax.device_put(pg[k], eg)
+    pg["halo_idx"] = jax.device_put(
+        pg["halo_idx"], NamedSharding(mesh, P("dp", "graph"))
+    )
+
+    loss_h, _ = jax.jit(
+        lambda p, b: m.loss_partitioned(p, b, pg, mesh, train=True)
+    )(params, batch_sh)
+    np.testing.assert_allclose(float(loss_h), float(ref_loss), rtol=2e-4)
