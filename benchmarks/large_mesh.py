@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Stretch-scale demo: the reference's largest mesh (256^2 = 65,536 nodes,
+~1.4M-edge radius graph — its single-GPU cap, SURVEY.md §2.3) as a full
+message-passing train step on ONE TPU chip.
+
+Exercises the native C++ graph builder at scale and the blocked-Pallas
+aggregation path, and reports edges/s.  Run: ./tpu.sh python
+benchmarks/large_mesh.py  (BENCH_SIDE=128 for a quicker check).
+"""
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as fnn
+
+from magnet_tpu.models.common import batch_vmap, build_radius_graph_batch
+from magnet_tpu.nn.graphnet import GraphDecoder, GraphEncoder, GraphProcessor
+from magnet_tpu.train.optim import make_optimizer
+from magnet_tpu.utils import make_coord_np
+
+
+def main():
+    side = int(os.environ.get("BENCH_SIDE", 256))
+    latent = int(os.environ.get("BENCH_LATENT", 32))
+    mp_steps = int(os.environ.get("BENCH_MP", 4))
+    B, T_IN = 1, 10
+
+    coords = make_coord_np([side, side])[None]               # (1, N, 2)
+    n = side * side
+    # reference 2D radius 0.1 in [-1,1] coords (magnet_cnn_2d.yaml), capped
+    # at 32 neighbors like torch_cluster
+    t0 = time.time()
+    g = build_radius_graph_batch(coords, 0.1 if side >= 64 else 0.3, loop=True)
+    e_real = float(np.asarray(g.edge_mask).sum())
+    print(f"N={n} nodes, E={e_real:.0f} edges, host build {time.time()-t0:.2f}s",
+          flush=True)
+
+    class Net(fnn.Module):
+        @fnn.compact
+        def __call__(self, nf, ef, gg):
+            enc = batch_vmap(GraphEncoder, in_axes=(0, 0), node_out=latent,
+                             edge_out=latent, mlp_layers=2, mlp_hidden=latent,
+                             name="enc")
+            proc = batch_vmap(GraphProcessor, in_axes=(0, 0, 0),
+                              latent_dim=latent, num_steps=mp_steps,
+                              mlp_layers=2, mlp_hidden=latent, remat=True,
+                              name="proc")
+            dec = batch_vmap(GraphDecoder, in_axes=(0,), node_out=T_IN,
+                             mlp_layers=2, mlp_hidden=latent, name="dec")
+            x, e = enc(nf, ef)
+            x, _ = proc(x, e, gg)
+            return dec(x)
+
+    rng = np.random.default_rng(0)
+    E = g.senders.shape[1]
+    net = Net()
+    nf = jnp.asarray(rng.normal(size=(B, n, T_IN + 3)).astype(np.float32))
+    ef = jnp.asarray(rng.normal(size=(B, E, T_IN + 2)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(B, n, T_IN)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), nf, ef, g)
+    tx = make_optimizer(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, nf, ef, g, tgt):
+        def lfn(p):
+            return jnp.mean(jnp.abs(net.apply(p, nf, ef, g) - tgt))
+
+        loss, grads = jax.value_and_grad(lfn)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
+
+    for _ in range(2):
+        params, opt, loss = step(params, opt, nf, ef, g, tgt)
+    jax.block_until_ready(loss)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt, loss = step(params, opt, nf, ef, g, tgt)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"train step {dt*1e3:.1f} ms -> {e_real*mp_steps/dt/1e6:.1f} M "
+          f"edges/s (loss {float(loss):.4f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
