@@ -26,6 +26,7 @@ from magnet_tpu.nn.core import MLP
 from magnet_tpu.nn.edsr import EDSR
 from magnet_tpu.nn.graphnet import GraphDecoder, GraphEncoder, GraphProcessor
 from magnet_tpu.nn.inr import INRDecoder2D
+from magnet_tpu.models.partitioned_mixin import PartitionedGraphMixin
 from magnet_tpu.ops.interp import interpolate_bilinear_2d
 from magnet_tpu.utils import make_coord, make_coord_np
 
@@ -43,36 +44,44 @@ class MAgNetCNN2DCore(fnn.Module):
 
     remat: bool = False
 
-    @fnn.compact
-    def __call__(self, x_t, coords, cell, t, hr_last, graph: Graph):
-        """
-        Args:
-          x_t: (B, T, C, W, W) LR frames; coords/cell: (B, N, 2);
-          t: (B, 2T); hr_last: (B, N, 1).
-        Returns (out_hr (B,T,N,1), out_lr (B,T,C,W,W), hr_points (B,T,N,1)).
-        """
-        B, T, C, W, _ = x_t.shape
-        N = coords.shape[1]
-        T_out = t.shape[-1] - T
-        WW = W * W
-
-        xx = x_t.reshape(B, T * C, W, W).transpose(0, 2, 3, 1)     # (B, W, W, TC)
-        feat = EDSR(
+    def setup(self):
+        self.encoder = EDSR(
             n_chan=self.n_chan, res_layers=self.res_layers,
-            kernel_size=self.kernel_size, res_scale=self.res_scale,
-            ndim=2, name="encoder",
-        )(xx)                                                      # (B, W, W, Cf)
-        feat_cl = feat.transpose(0, 3, 1, 2)                       # (B, Cf, W, W)
-
-        inr = batch_vmap(
+            kernel_size=self.kernel_size, res_scale=self.res_scale, ndim=2,
+        )
+        self.continuous_decoder = batch_vmap(
             INRDecoder2D, in_axes=(0, 0, 0, 0, 0),
             n_chan=self.n_chan, mlp_layers=self.mlp_layers,
-            mlp_hidden=self.mlp_hidden, name="continuous_decoder",
+            mlp_hidden=self.mlp_hidden,
         )
-        z = inr(x_t, feat_cl, cell, coords, t)                     # (B, N, T, nc)
-        hr_points = MLP(
-            [self.mlp_hidden] * self.mlp_layers, 1, name="projector"
-        )(z)                                                       # (B, N, T, 1)
+        self.projector = MLP([self.mlp_hidden] * self.mlp_layers, 1)
+        self._encoder = batch_vmap(
+            GraphEncoder, in_axes=(0, 0),
+            node_out=self.latent_dim, edge_out=self.latent_dim,
+            mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
+        )
+        self._processor = batch_vmap(
+            GraphProcessor, in_axes=(0, 0, 0),
+            latent_dim=self.latent_dim,
+            num_steps=self.num_message_passing_steps, remat=self.remat,
+            mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
+        )
+        self._decoder = batch_vmap(
+            GraphDecoder, in_axes=(0,),
+            node_out=self.time_slice, mlp_layers=self.mlp_layers,
+            mlp_hidden=self.mlp_hidden,
+        )
+
+    def graph_pre(self, x_t, coords, cell, t):
+        """EDSR + INR + projector + node/edge feature assembly (2D)."""
+        B, T, C, W, _ = x_t.shape
+        N = coords.shape[1]
+        WW = W * W
+        xx = x_t.reshape(B, T * C, W, W).transpose(0, 2, 3, 1)     # (B, W, W, TC)
+        feat = self.encoder(xx)                                    # (B, W, W, Cf)
+        feat_cl = feat.transpose(0, 3, 1, 2)                       # (B, Cf, W, W)
+        z = self.continuous_decoder(x_t, feat_cl, cell, coords, t)  # (B, N, T, nc)
+        hr_points = self.projector(z)                              # (B, N, T, 1)
 
         hr_flat = hr_points.reshape(B, N, T * C)
         lr_flat = x_t.transpose(0, 3, 4, 1, 2).reshape(B, WW, T * C)
@@ -89,55 +98,63 @@ class MAgNetCNN2DCore(fnn.Module):
             ],
             axis=-1,
         )                                                          # (B, WW+N, T+3)
+        return node_feats, hr_points, all_feats, all_coords
 
-        def edge_feats_fn(u, x, s, r):
+    @staticmethod
+    def edge_features(all_feats, all_coords, senders, receivers):
+        def ef(u, x, s, r):
             du = jnp.take(u, s, axis=0) - jnp.take(u, r, axis=0)
             dx = jnp.take(x, s, axis=0) - jnp.take(x, r, axis=0)
             return jnp.concatenate([du, dx], axis=-1)
 
-        edge_feats = jax.vmap(edge_feats_fn)(
-            all_feats, all_coords, graph.senders, graph.receivers
-        )                                                          # (B, E, T+2)
+        return jax.vmap(ef)(all_feats, all_coords, senders, receivers)
 
-        genc = batch_vmap(
-            GraphEncoder, in_axes=(0, 0),
-            node_out=self.latent_dim, edge_out=self.latent_dim,
-            mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
-            name="_encoder",
-        )
-        gproc = batch_vmap(
-            GraphProcessor, in_axes=(0, 0, 0),
-            latent_dim=self.latent_dim,
-            num_steps=self.num_message_passing_steps, remat=self.remat,
-            mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
-            name="_processor",
-        )
-        gdec = batch_vmap(
-            GraphDecoder, in_axes=(0,),
-            node_out=self.time_slice, mlp_layers=self.mlp_layers,
-            mlp_hidden=self.mlp_hidden, name="_decoder",
-        )
+    def graph_encode(self, node_feats, edge_feats):
+        return self._encoder(node_feats, edge_feats)
 
-        nf, ef = genc(node_feats, edge_feats)
-        nf, _ = gproc(nf, ef, graph)
-        ret = gdec(nf)                                             # (B, WW+N, T_out)
+    def graph_decode(self, nf):
+        return self._decoder(nf)
 
+    @staticmethod
+    def assemble_outputs(ret, x_t, hr_points, hr_last, t):
+        B, T, C, W, _ = x_t.shape
+        WW = W * W
+        T_out = t.shape[-1] - T
         last_values = jnp.concatenate(
-            [x_t[:, -1].transpose(0, 2, 3, 1).reshape(B, WW, C), hr_last], axis=1
+            [x_t[:, -1].transpose(0, 2, 3, 1).reshape(B, WW, C), hr_last],
+            axis=1,
         )                                                          # (B, WW+N, 1)
         dt = t[:, T:] - t[:, T - 1 : T]                            # (B, T_out)
         outputs = (
-            last_values[:, None] + dt[:, :, None, None] * ret.transpose(0, 2, 1)[..., None]
+            last_values[:, None]
+            + dt[:, :, None, None] * ret.transpose(0, 2, 1)[..., None]
         )                                                          # (B, T_out, WW+N, 1)
-
         out_lr = outputs[:, :, :WW].transpose(0, 1, 3, 2).reshape(
             B, T_out, C, W, W
         )
         out_hr = outputs[:, :, WW:]
         return out_hr, out_lr, hr_points.transpose(0, 2, 1, 3)
 
+    def __call__(self, x_t, coords, cell, t, hr_last, graph: Graph):
+        """
+        Args:
+          x_t: (B, T, C, W, W) LR frames; coords/cell: (B, N, 2);
+          t: (B, 2T); hr_last: (B, N, 1).
+        Returns (out_hr (B,T,N,1), out_lr (B,T,C,W,W), hr_points (B,T,N,1)).
+        """
+        node_feats, hr_points, all_feats, all_coords = self.graph_pre(
+            x_t, coords, cell, t
+        )
+        edge_feats = self.edge_features(
+            all_feats, all_coords, graph.senders, graph.receivers
+        )
+        nf, ef = self.graph_encode(node_feats, edge_feats)
+        nf, _ = self._processor(nf, ef, graph)
+        ret = self.graph_decode(nf)                                # (B, WW+N, T_out)
+        return self.assemble_outputs(ret, x_t, hr_points, hr_last, t)
 
-class MAgNetCNN2D:
+
+class MAgNetCNN2D(PartitionedGraphMixin):
     """Task wrapper.  Batch (DatasetImplicit2D): t (B, nt),
     lr_frames (B, nt, 1, W, W), hr_points (B, nt, N, 1), coords (B, N, 2),
     cells (B, N, 2)."""
@@ -163,6 +180,22 @@ class MAgNetCNN2D:
             res_layers=int(self.hp.get("res_layers", 16)),
             remat=bool(self.hp.get("remat", False)),
         )
+
+    # ---------- graph-parallel hooks (PartitionedGraphMixin) -------------
+    def _pp_lr_coords(self, batch):
+        W = batch["lr_frames"].shape[-1]
+        return make_coord_np([W, W])
+
+    def _pp_feedback(self, out_lr):
+        return out_lr
+
+    def _pp_lr_nodes(self, lr_hat):
+        b, tt, c = lr_hat.shape[:3]
+        return lr_hat.reshape(b, tt, c, -1).transpose(0, 1, 3, 2)
+
+    def _pp_u_nodes(self, u, ts, used):
+        b, _, c = u.shape[:3]
+        return u[:, ts:used].reshape(b, used - ts, c, -1).transpose(0, 1, 3, 2)
 
     def build_graph(self, batch) -> Graph:
         coords = np.asarray(batch["coords"])                       # (B, N, 2)

@@ -285,3 +285,42 @@ def test_flagship_halo_matches_standard():
         lambda p, b: m.loss_partitioned(p, b, pg, mesh, train=True)
     )(params, batch_sh)
     np.testing.assert_allclose(float(loss_h), float(ref_loss), rtol=2e-4)
+
+
+def test_flagship_2d_graph_parallel_matches_standard():
+    """MAgNetCNN2D partitioned path == standard path on dp=2 x graph=4."""
+    from magnet_tpu.models.factory import create_model
+
+    rng = np.random.default_rng(9)
+    B, nt, W, N, ts = 2, 12, 8, 12, 4
+    batch = {
+        "t": jnp.asarray(np.linspace(0, 1, nt, dtype=np.float32)[None].repeat(B, 0)),
+        "lr_frames": jnp.asarray(
+            rng.normal(size=(B, nt, 1, W, W)).astype(np.float32)
+        ),
+        "hr_points": jnp.asarray(rng.normal(size=(B, nt, N, 1)).astype(np.float32)),
+        "coords": jnp.asarray(rng.uniform(-1, 1, (B, N, 2)).astype(np.float32)),
+        "cells": jnp.asarray(np.full((B, N, 2), 2.0 / (2 * W), np.float32)),
+    }
+    m = create_model(
+        "magnet_cnn_2d",
+        dict(time_slice=ts, latent_dim=8, num_message_passing_steps=2,
+             mlp_layers=2, mlp_hidden=16, n_chan=8, res_layers=1,
+             radius=0.6, teacher_forcing=True, loss="l1"),
+    )
+    g = m.build_graph(batch)
+    params = m.init(jax.random.PRNGKey(0), batch, g)
+    ref_loss, _ = m.loss(params, batch, g, train=True)
+
+    mesh = make_mesh(dp=2, graph=4)
+    pg = m.build_graph_partitioned(batch, n_shards=4)
+    bs = NamedSharding(mesh, P("dp"))
+    batch_sh = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    eg = NamedSharding(mesh, P("dp", "graph"))
+    for k in ("senders", "recv_loc", "mask", "table"):
+        pg[k] = jax.device_put(pg[k], eg)
+
+    loss_p, _ = jax.jit(
+        lambda p, b: m.loss_partitioned(p, b, pg, mesh, train=True)
+    )(params, batch_sh)
+    np.testing.assert_allclose(float(loss_p), float(ref_loss), rtol=2e-4)
