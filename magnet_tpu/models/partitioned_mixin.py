@@ -128,9 +128,12 @@ class PartitionedGraphMixin:
 
         B = nf.shape[0]
         latent = nf.shape[-1]
-        n_pad = pg["n_node_pad"]
+        # static sizes derived from array SHAPES (the int entries in pg
+        # become traced values when pg is a jit argument)
+        g_shards, ns = pg["table"].shape[1], pg["table"].shape[2]
+        n_pad = g_shards * ns
         nf_pad = jnp.pad(nf, ((0, 0), (0, n_pad - nf.shape[1]), (0, 0)))
-        ef_sh = ef.reshape(B, pg["n_shards"], -1, latent)
+        ef_sh = ef.reshape(B, g_shards, -1, latent)
 
         inet = InteractionNetwork(
             node_out=latent, edge_out=latent,

@@ -63,6 +63,7 @@ class Trainer:
         workdir: str = "runs/default",
         seed: int = 42,
         mesh: Optional[jax.sharding.Mesh] = None,
+        graph_shards: int = 1,
         log_every: int = 10,
         check_val_every: int = 1,
     ):
@@ -75,6 +76,14 @@ class Trainer:
         self.workdir = workdir
         self.seed = seed
         self.mesh = mesh
+        self.graph_shards = graph_shards
+        if graph_shards > 1:
+            assert mesh is not None and "graph" in mesh.axis_names, (
+                "graph_shards > 1 needs a mesh with a 'graph' axis"
+            )
+            assert hasattr(model, "loss_partitioned"), (
+                f"{model.name} has no graph-parallel execution path"
+            )
         self.log_every = log_every
         self.check_val_every = check_val_every
         self.ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
@@ -98,8 +107,15 @@ class Trainer:
         )
         model = self.model
 
+        partitioned = self.graph_shards > 1
+        mesh = self.mesh
+
         def train_step(params, opt_state, batch, graph, rng):
             def lfn(p):
+                if partitioned:
+                    return model.loss_partitioned(
+                        p, batch, graph, mesh, rng=rng, train=True
+                    )
                 return model.loss(p, batch, graph, rng=rng, train=True)
 
             (loss, metrics), grads = jax.value_and_grad(lfn, has_aux=True)(params)
@@ -108,18 +124,46 @@ class Trainer:
             return params, opt_state, metrics
 
         def val_step(params, batch, graph):
-            _, metrics = model.loss(params, batch, graph, train=False)
+            if partitioned:
+                _, metrics = model.loss_partitioned(
+                    params, batch, graph, mesh, train=False
+                )
+            else:
+                _, metrics = model.loss(params, batch, graph, train=False)
             return metrics
 
         donate = (0, 1)
         self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._val_step = jax.jit(val_step)
 
+    def _build_graph(self, batch):
+        if self.graph_shards > 1:
+            return self.model.build_graph_partitioned(batch, self.graph_shards)
+        return self.model.build_graph(batch)
+
     def _put(self, batch, graph):
         jb = {k: v for k, v in batch.items()}
         if self._data_sharding is not None:
             jb = _to_device(jb, self._data_sharding)
-            graph = _to_device(graph, self._data_sharding) if graph is not None else None
+            if graph is not None:
+                if self.graph_shards > 1:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    eg = NamedSharding(self.mesh, P("dp", "graph"))
+                    g = dict(graph)
+                    for k in ("senders", "recv_loc", "mask", "table",
+                              "senders_remap", "halo_idx"):
+                        if k in g:
+                            g[k] = jax.device_put(jnp.asarray(g[k]), eg)
+                    g["senders_flat"] = jax.device_put(
+                        jnp.asarray(g["senders_flat"]), self._data_sharding
+                    )
+                    g["receivers_flat"] = jax.device_put(
+                        jnp.asarray(g["receivers_flat"]), self._data_sharding
+                    )
+                    graph = g
+                else:
+                    graph = _to_device(graph, self._data_sharding)
         else:
             jb = _to_device(jb)
         return jb, graph
@@ -139,10 +183,15 @@ class Trainer:
         train_loader.set_epoch(0)
         it = iter(train_loader)
         first = next(it)
-        graph0 = self.model.build_graph(first)
+        graph0 = self._build_graph(first)
         jb0, g0 = self._put(first, graph0)
         rng, init_rng = jax.random.split(rng)
-        params = self.model.init(init_rng, jb0, g0)
+        if self.graph_shards > 1:
+            # param init uses the standard (unpartitioned) forward
+            init_graph = self.model.build_graph(first)
+            params = self.model.init(init_rng, _to_device(dict(first)), init_graph)
+        else:
+            params = self.model.init(init_rng, jb0, g0)
         opt_state = self._tx.init(params)
         start_epoch = 0
         if resume:
@@ -168,7 +217,7 @@ class Trainer:
             pending = []          # device-side metric dicts; one sync per epoch
             count = 0
             for batch in train_loader:
-                graph = self.model.build_graph(batch)
+                graph = self._build_graph(batch)
                 jb, g = self._put(batch, graph)
                 rng, sub = jax.random.split(rng)
                 params, opt_state, metrics = self._train_step(
@@ -228,7 +277,7 @@ class Trainer:
         agg: dict[str, float] = {}
         n = 0
         for batch in loader:
-            graph = self.model.build_graph(batch)
+            graph = self._build_graph(batch)
             jb, g = self._put(batch, graph)
             metrics = jax.device_get(self._val_step(params, jb, g))
             for k, v in metrics.items():

@@ -57,7 +57,11 @@ def main(argv=None):
     model = create_model(model_name, cfg.model.params)
 
     devices = int(cfg.trainer.get("devices", 1))
-    mesh = make_mesh(dp=devices) if devices not in (0, 1) else None
+    graph_shards = int(cfg.trainer.get("graph_shards", 1))
+    if graph_shards > 1 or devices not in (0, 1):
+        mesh = make_mesh(dp=devices if devices > 0 else -1, graph=graph_shards)
+    else:
+        mesh = None
 
     trainer = Trainer(
         model,
@@ -70,6 +74,7 @@ def main(argv=None):
         workdir=workdir,
         seed=int(cfg.seed),
         mesh=mesh,
+        graph_shards=graph_shards,
         log_every=int(cfg.trainer.get("log_every", 10)),
         check_val_every=int(cfg.trainer.get("check_val_every", 1)),
     )
