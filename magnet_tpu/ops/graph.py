@@ -237,6 +237,8 @@ def block_graph(
     if e_tile is None:
         e_tile = int(counts.max()) if len(r) else 1
         e_tile = max(128, ((e_tile + 127) // 128) * 128)
+        if e_tile > 2048:  # keep a 2048 divisor for kernel E-chunking
+            e_tile = ((e_tile + 2047) // 2048) * 2048
     assert counts.max() <= e_tile if len(r) else True
 
     S = np.zeros((n_tiles, e_tile), np.int32)
@@ -263,6 +265,8 @@ def block_graph(
     if e_tile_s is None:
         e_tile_s = int(s_counts.max()) if len(real) else 1
         e_tile_s = max(128, ((e_tile_s + 127) // 128) * 128)
+        if e_tile_s > 2048:
+            e_tile_s = ((e_tile_s + 2047) // 2048) * 2048
     assert (s_counts.max() if len(real) else 0) <= e_tile_s
     SID = np.full((n_tiles, e_tile_s), n_tiles * e_tile, np.int32)
     SL = np.zeros((n_tiles, e_tile_s), np.int32)

@@ -44,41 +44,67 @@ def _einsum_impl(msgs, recv_local, mask, tile_n):
     )
 
 
+MAX_E_CHUNK = 2048  # bounds the (tile_n, chunk) one-hot VMEM footprint
+
+
+def _e_chunk(e: int) -> int:
+    """Largest divisor of e that is a multiple of 128 and <= MAX_E_CHUNK
+    (e itself is always a multiple of 128)."""
+    if e <= MAX_E_CHUNK:
+        return e
+    k = e // 128
+    for m in range(MAX_E_CHUNK // 128, 0, -1):
+        if k % m == 0:
+            return 128 * m
+    return 128
+
+
 def _pallas_impl(msgs, recv_local, mask, tile_n):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     T, E, C = msgs.shape
+    chunk = _e_chunk(E)
+    n_chunks = E // chunk
     recv3 = recv_local.reshape(T, 1, E)
     mask3 = mask.reshape(T, 1, E)
 
     def kernel(msgs_ref, recv_ref, mask_ref, out_ref):
-        recv = recv_ref[0, 0]                               # (E,)
-        m = mask_ref[0, 0]                                  # (E,)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, E), 0)
+        ec = pl.program_id(1)
+        recv = recv_ref[0, 0]                               # (chunk,)
+        m = mask_ref[0, 0]                                  # (chunk,)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
         onehot = (rows == recv[None, :]).astype(msgs_ref.dtype) * m[None, :].astype(
             msgs_ref.dtype
         )
-        out_ref[0] = jax.lax.dot_general(
+        part = jax.lax.dot_general(
             onehot,
             msgs_ref[0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
+        @pl.when(ec == 0)
+        def _():
+            out_ref[0] = part
+
+        @pl.when(ec != 0)
+        def _():
+            out_ref[0] = out_ref[0] + part
+
     return pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(T, n_chunks),
         interpret=bool(os.environ.get("MAGNET_TPU_PALLAS_INTERPRET")),
         in_specs=[
-            pl.BlockSpec((1, E, C), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, chunk, C), lambda t, ec: (t, ec, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, E), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, 1, chunk), lambda t, ec: (t, 0, ec),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, E), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, 1, chunk), lambda t, ec: (t, 0, ec),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_n, C), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, tile_n, C), lambda t, ec: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, tile_n, C), jnp.float32),
         cost_estimate=pl.CostEstimate(

@@ -231,3 +231,20 @@ def test_pallas_kernel_interpret_matches_einsum(monkeypatch):
     out = pk._pallas_impl(msgs, recv, mask, 128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_pallas_kernel_chunked_large_tile(monkeypatch):
+    """E-chunked accumulation path (E_TILE > MAX_E_CHUNK) in interpret
+    mode."""
+    from magnet_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(13)
+    T, E, C = 2, 4096, 8           # E > MAX_E_CHUNK -> 2 chunks
+    msgs = jnp.asarray(rng.normal(size=(T, E, C)).astype(np.float32))
+    recv = jnp.asarray(rng.integers(0, 128, size=(T, E)).astype(np.int32))
+    mask = jnp.asarray((rng.uniform(size=(T, E)) > 0.2).astype(np.float32))
+    ref = pk._einsum_impl(msgs, recv, mask, 128)
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    out = pk._pallas_impl(msgs, recv, mask, 128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
