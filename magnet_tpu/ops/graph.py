@@ -147,11 +147,13 @@ def pad_graph(
     m[:e] = 1.0
 
     table = np.full((n_node, k_max), e_pad, np.int32)
-    slot = np.zeros(n_node, np.int64)
-    for eid in range(e):
-        i = receivers[eid]
-        table[i, slot[i]] = eid
-        slot[i] += 1
+    if e:
+        order = np.argsort(receivers[:e], kind="stable")
+        rs = np.asarray(receivers[:e])[order]
+        starts = np.zeros(n_node + 1, np.int64)
+        np.cumsum(np.bincount(rs, minlength=n_node), out=starts[1:])
+        slot = np.arange(e) - starts[rs]
+        table[rs, slot] = order
     return PaddedGraph(s, t, m, table, n_node)
 
 
@@ -245,15 +247,16 @@ def block_graph(
     RL = np.zeros((n_tiles, e_tile), np.int32)
     M = np.zeros((n_tiles, e_tile), np.float32)
     RG = np.zeros((n_tiles, e_tile), np.int32)
-    offs = np.zeros(n_tiles, np.int64)
-    for eid in range(len(r)):
-        t = tile_of[eid]
-        k = offs[t]
-        S[t, k] = s[eid]
-        RL[t, k] = r[eid] - t * tile_n
-        RG[t, k] = r[eid]
-        M[t, k] = 1.0
-        offs[t] += 1
+    if len(r):
+        # vectorized bucket packing: edges are receiver-sorted, so slots
+        # within a tile are consecutive positions after the tile start
+        starts = np.zeros(n_tiles + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        slot = np.arange(len(r)) - starts[tile_of]
+        S[tile_of, slot] = s
+        RL[tile_of, slot] = r - tile_of * tile_n
+        RG[tile_of, slot] = r
+        M[tile_of, slot] = 1.0
     degree = np.bincount(receivers, minlength=n_node).astype(np.float32)[:, None]
 
     # sender-side transpose blocking over the FLAT blocked edge array
@@ -270,11 +273,12 @@ def block_graph(
     assert (s_counts.max() if len(real) else 0) <= e_tile_s
     SID = np.full((n_tiles, e_tile_s), n_tiles * e_tile, np.int32)
     SL = np.zeros((n_tiles, e_tile_s), np.int32)
-    soffs = np.zeros(n_tiles, np.int64)
-    for fid in real:
-        tt = flat_s[fid] // tile_n
-        k = soffs[tt]
-        SID[tt, k] = fid
-        SL[tt, k] = flat_s[fid] - tt * tile_n
-        soffs[tt] += 1
+    if len(real):
+        s_order = real[np.argsort(s_tile_of, kind="stable")]
+        so_tiles = flat_s[s_order] // tile_n
+        s_starts = np.zeros(n_tiles + 1, np.int64)
+        np.cumsum(s_counts, out=s_starts[1:])
+        s_slot = np.arange(len(s_order)) - s_starts[so_tiles]
+        SID[so_tiles, s_slot] = s_order
+        SL[so_tiles, s_slot] = flat_s[s_order] - so_tiles * tile_n
     return BlockedGraph(S, RL, M, RG.reshape(-1), degree, n_pad, SID, SL)

@@ -97,11 +97,13 @@ def partition_graph(
         S[g, :e] = per_s[g]
         R[g, :e] = per_r[g]
         M[g, :e] = 1.0
-        slot = np.zeros(ns, np.int64)
-        for eid in range(e):
-            i = per_r[g][eid]
-            T[g, i, slot[i]] = eid
-            slot[i] += 1
+        if e:
+            order = np.argsort(per_r[g], kind="stable")
+            rs = per_r[g][order]
+            starts = np.zeros(ns + 1, np.int64)
+            np.cumsum(np.bincount(rs, minlength=ns), out=starts[1:])
+            slot = np.arange(e) - starts[rs]
+            T[g, rs, slot] = order
     return ShardedGraph(S, R, M, T, n_pad, n_node)
 
 
@@ -249,25 +251,21 @@ def partition_graph_halo(
     h_pad = ((h_pad + 7) // 8) * 8
 
     halo_idx = np.zeros((g, g, h_pad), np.int32)
-    slot_of: list[dict] = [dict() for _ in range(g)]  # per dst: global -> ext idx
+    # per dst: global node id -> extended-space index (vectorized mapping)
+    ext_map = np.zeros((g, base.n_node_pad), np.int64)
     for src in range(g):
         for dst in range(g):
             uniq = need[src][dst]
             halo_idx[src, dst, : len(uniq)] = uniq - src * ns
-            for pos, n_glob in enumerate(uniq):
-                slot_of[dst][int(n_glob)] = ns + src * h_pad + pos
+            ext_map[dst, uniq] = ns + src * h_pad + np.arange(len(uniq))
 
     e_s = base.senders.shape[1]
     remap = np.zeros((g, e_s), np.int32)
     for dst in range(g):
-        for e in range(e_s):
-            if base.edge_mask[dst, e] == 0:
-                continue
-            sg = int(base.senders[dst, e])
-            if sg // ns == dst:
-                remap[dst, e] = sg - dst * ns
-            else:
-                remap[dst, e] = slot_of[dst][sg]
+        sg = base.senders[dst].astype(np.int64)
+        local = (sg // ns) == dst
+        vals = np.where(local, sg - dst * ns, ext_map[dst, sg])
+        remap[dst] = np.where(base.edge_mask[dst] > 0, vals, 0).astype(np.int32)
 
     return HaloGraph(
         senders=base.senders,
