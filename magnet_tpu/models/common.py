@@ -95,6 +95,8 @@ def nrmse(pred, target, eps: float = 1e-12):
 
 
 _E_TILE_CACHE: dict = {}
+_GRAPH_CACHE: dict = {}
+_GRAPH_CACHE_MAX = 8
 
 
 def build_radius_graph_batch(
@@ -109,8 +111,19 @@ def build_radius_graph_batch(
     :class:`Graph`.  Per-tile bucket sizes are batch-maxed and rounded to
     128 to bound recompilation.
     """
+    import hashlib
+
     coords = np.asarray(coords)
     bsz, n_node = coords.shape[:2]
+    # identical coordinate batches (regular grids, fixed meshes) rebuild the
+    # same graph every step — cache the finished device Graph
+    digest = hashlib.blake2b(
+        np.ascontiguousarray(coords).tobytes(), digest_size=16
+    ).hexdigest()
+    ckey = (digest, round(float(radius), 9), bool(loop), max_num_neighbors,
+            tile_n)
+    if ckey in _GRAPH_CACHE:
+        return _GRAPH_CACHE[ckey]
     raw = [
         hostgraph.radius_graph_np(
             coords[b], radius, loop=loop, max_num_neighbors=max_num_neighbors
@@ -149,7 +162,7 @@ def build_radius_graph_batch(
         )
         for s, t in raw
     ]
-    return Graph(
+    out = Graph(
         senders=jnp.asarray(np.stack([g.senders.reshape(-1) for g in blocked])),
         receivers=jnp.asarray(np.stack([g.receivers for g in blocked])),
         edge_mask=jnp.asarray(np.stack([g.mask.reshape(-1) for g in blocked])),
@@ -158,6 +171,10 @@ def build_radius_graph_batch(
         blk_snd_edge_ids=jnp.asarray(np.stack([g.snd_edge_ids for g in blocked])),
         blk_snd_local=jnp.asarray(np.stack([g.snd_local for g in blocked])),
     )
+    if len(_GRAPH_CACHE) >= _GRAPH_CACHE_MAX:
+        _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
+    _GRAPH_CACHE[ckey] = out
+    return out
 
 
 def time_windows(t: jnp.ndarray, n_windows: int, slice_len: int) -> jnp.ndarray:
