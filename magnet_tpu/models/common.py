@@ -156,20 +156,32 @@ def build_radius_graph_batch(
     skey = key + ("snd",)
     e_tile_s = max(e_tile_s, _E_TILE_CACHE.get(skey, 0))
     _E_TILE_CACHE[skey] = e_tile_s
+    # extreme out-degree skew (torch_cluster's lowest-index neighbor cap on
+    # regular grids) makes transpose buckets mostly padding — skip them and
+    # let gather VJPs fall back to plain take
+    build_snd = e_tile_s <= max(4 * e_tile, 4096)
     blocked = [
         hostgraph.block_graph(
-            s, t, n_node, tile_n=tile_n, e_tile=e_tile, e_tile_s=e_tile_s
+            s, t, n_node, tile_n=tile_n, e_tile=e_tile, e_tile_s=e_tile_s,
+            build_snd=build_snd,
         )
         for s, t in raw
     ]
+    has_snd = all(g.snd_edge_ids is not None for g in blocked)
     out = Graph(
         senders=jnp.asarray(np.stack([g.senders.reshape(-1) for g in blocked])),
         receivers=jnp.asarray(np.stack([g.receivers for g in blocked])),
         edge_mask=jnp.asarray(np.stack([g.mask.reshape(-1) for g in blocked])),
         blk_recv_local=jnp.asarray(np.stack([g.recv_local for g in blocked])),
         degree=jnp.asarray(np.stack([g.degree for g in blocked])),
-        blk_snd_edge_ids=jnp.asarray(np.stack([g.snd_edge_ids for g in blocked])),
-        blk_snd_local=jnp.asarray(np.stack([g.snd_local for g in blocked])),
+        blk_snd_edge_ids=(
+            jnp.asarray(np.stack([g.snd_edge_ids for g in blocked]))
+            if has_snd else None
+        ),
+        blk_snd_local=(
+            jnp.asarray(np.stack([g.snd_local for g in blocked]))
+            if has_snd else None
+        ),
     )
     if len(_GRAPH_CACHE) >= _GRAPH_CACHE_MAX:
         _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))

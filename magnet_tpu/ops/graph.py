@@ -227,6 +227,7 @@ def block_graph(
     tile_n: int = 128,
     e_tile: Optional[int] = None,
     e_tile_s: Optional[int] = None,
+    build_snd: bool = True,
 ) -> BlockedGraph:
     """Pack an edge list into the tile-blocked layout."""
     n_pad = ((n_node + tile_n - 1) // tile_n) * tile_n
@@ -259,6 +260,9 @@ def block_graph(
         M[tile_of, slot] = 1.0
     degree = np.bincount(receivers, minlength=n_node).astype(np.float32)[:, None]
 
+    if not build_snd:
+        return BlockedGraph(S, RL, M, RG.reshape(-1), degree, n_pad, None, None)
+
     # sender-side transpose blocking over the FLAT blocked edge array
     flat_s = S.reshape(-1)
     flat_m = M.reshape(-1)
@@ -270,6 +274,12 @@ def block_graph(
         e_tile_s = max(128, ((e_tile_s + 127) // 128) * 128)
         if e_tile_s > 2048:
             e_tile_s = ((e_tile_s + 2047) // 2048) * 2048
+    # torch_cluster's neighbor cap keeps lowest-index senders, so regular
+    # grids develop extreme OUT-degree skew (a few nodes feed hundreds of
+    # receivers).  When the transpose buckets would be mostly padding, skip
+    # the sender-blocked layout — gather VJPs fall back to plain take.
+    if e_tile_s > max(4 * e_tile, 4096):
+        return BlockedGraph(S, RL, M, RG.reshape(-1), degree, n_pad, None, None)
     assert (s_counts.max() if len(real) else 0) <= e_tile_s
     SID = np.full((n_tiles, e_tile_s), n_tiles * e_tile, np.int32)
     SL = np.zeros((n_tiles, e_tile_s), np.int32)
