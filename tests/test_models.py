@@ -237,3 +237,58 @@ def test_magnet_cnn_no_interaction(f1d48):
              teacher_forcing=False, loss="l1"),
     )
     _check(m, batch, None, val_batch=vbatch)
+
+
+def test_magnet_gnn_noise_rng(f1d48):
+    """Training noise (reference magnet_gnn.py:401-426) is PRNG-driven:
+    same key reproduces the loss, different keys differ."""
+    ds = DatasetImplicitGNN1D(f1d48, "train", nt=48, nx=64, samples=8)
+    batch = next(iter(DataLoader(ds, 2, prefetch=0)))
+    m = create_model(
+        "magnet_gnn",
+        dict(time_slice=16, latent_dim=8, num_message_passing_steps=1,
+             mlp_layers=1, mlp_hidden=8, n_chan=8, radius=0.3,
+             teacher_forcing=True, codec_neighbors=2, noise=0.1,
+             interpolation="area", loss="l1"),
+    )
+    g = m.build_graph(batch)
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "sample_idx"}
+    p = m.init(jax.random.PRNGKey(0), jb, g)
+    l1a, _ = m.loss(p, jb, g, rng=jax.random.PRNGKey(7), train=True)
+    l1b, _ = m.loss(p, jb, g, rng=jax.random.PRNGKey(7), train=True)
+    l2, _ = m.loss(p, jb, g, rng=jax.random.PRNGKey(8), train=True)
+    assert float(l1a) == float(l1b)
+    assert float(l1a) != float(l2)
+
+
+@pytest.mark.parametrize("interp", ["knn", "sph"])
+def test_knn_decoder_other_interpolations(f1d48, interp):
+    ds = DatasetImplicitGNN1D(f1d48, "train", nt=48, nx=64, samples=8)
+    batch = next(iter(DataLoader(ds, 2, prefetch=0)))
+    m = create_model(
+        "magnet_gnn",
+        dict(time_slice=16, latent_dim=8, num_message_passing_steps=1,
+             mlp_layers=1, mlp_hidden=8, n_chan=8, radius=0.3,
+             teacher_forcing=True, codec_neighbors=2, noise=0.0,
+             interpolation=interp, loss="l1"),
+    )
+    g = m.build_graph(batch)
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "sample_idx"}
+    p = m.init(jax.random.PRNGKey(0), jb, g)
+    loss, _ = m.loss(p, jb, g, train=True)
+    assert np.isfinite(float(loss))
+
+
+def test_losses_l2_smooth_l1(f1d):
+    """The reference's alternative criteria (fno_1d.py:83-88) work."""
+    ds = Dataset1D(f1d, "train", nt=30, nx=64)
+    batch = next(iter(DataLoader(ds, 2, prefetch=0)))
+    for lname in ("l2", "smooth_l1"):
+        m = create_model(
+            "fno_1d",
+            dict(modes=4, width=8, num_layers=1, time_history=10,
+                 time_future=10, teacher_forcing=True, loss=lname),
+        )
+        p = m.init(jax.random.PRNGKey(0), {k: jnp.asarray(v) for k, v in batch.items()})
+        loss, _ = m.loss(p, {k: jnp.asarray(v) for k, v in batch.items()}, None, train=True)
+        assert np.isfinite(float(loss))
