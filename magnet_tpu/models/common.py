@@ -140,8 +140,7 @@ def build_radius_graph_batch(
         if len(t):
             counts = np.bincount(t // tile_n, minlength=n_pad // tile_n)
             e_tile = max(e_tile, ((int(counts.max()) + 127) // 128) * 128)
-    if e_tile > 2048:  # keep a 2048 divisor for kernel E-chunking
-        e_tile = ((e_tile + 2047) // 2048) * 2048
+    e_tile = hostgraph._chunkable_e_tile(e_tile)
     key = (n_node, round(float(radius), 9), bool(loop), tile_n)
     e_tile = max(e_tile, _E_TILE_CACHE.get(key, 0))
     _E_TILE_CACHE[key] = e_tile
@@ -151,8 +150,7 @@ def build_radius_graph_batch(
         if len(s):
             counts = np.bincount(s // tile_n, minlength=n_pad // tile_n)
             e_tile_s = max(e_tile_s, ((int(counts.max()) + 127) // 128) * 128)
-    if e_tile_s > 2048:
-        e_tile_s = ((e_tile_s + 2047) // 2048) * 2048
+    e_tile_s = hostgraph._chunkable_e_tile(e_tile_s)
     skey = key + ("snd",)
     e_tile_s = max(e_tile_s, _E_TILE_CACHE.get(skey, 0))
     _E_TILE_CACHE[skey] = e_tile_s

@@ -181,6 +181,21 @@ def build_radius_graph_padded(
     return pad_graph(s, t, int(pos.shape[0]), e_pad=e_pad, k_max=k_max)
 
 
+
+
+def _chunkable_e_tile(e_tile: int) -> int:
+    """Ensure the kernel can E-chunk with a reasonable chunk size: walk up
+    in 128-steps to the nearest bucket whose best divisor-chunk is >= 512
+    (a multiple of 2048 always qualifies, so the walk is bounded)."""
+    if e_tile <= 2048:
+        return e_tile
+    from magnet_tpu.ops.pallas_kernels import _e_chunk
+
+    while _e_chunk(e_tile) < 512:
+        e_tile += 128
+    return e_tile
+
+
 def bucket_e_pad(e: int, granularity: int = 256) -> int:
     """Round an edge count up to a bucket to bound recompilation."""
     return max(granularity, ((e + granularity - 1) // granularity) * granularity)
@@ -240,8 +255,7 @@ def block_graph(
     if e_tile is None:
         e_tile = int(counts.max()) if len(r) else 1
         e_tile = max(128, ((e_tile + 127) // 128) * 128)
-        if e_tile > 2048:  # keep a 2048 divisor for kernel E-chunking
-            e_tile = ((e_tile + 2047) // 2048) * 2048
+        e_tile = _chunkable_e_tile(e_tile)
     assert counts.max() <= e_tile if len(r) else True
 
     S = np.zeros((n_tiles, e_tile), np.int32)
@@ -272,8 +286,7 @@ def block_graph(
     if e_tile_s is None:
         e_tile_s = int(s_counts.max()) if len(real) else 1
         e_tile_s = max(128, ((e_tile_s + 127) // 128) * 128)
-        if e_tile_s > 2048:
-            e_tile_s = ((e_tile_s + 2047) // 2048) * 2048
+        e_tile_s = _chunkable_e_tile(e_tile_s)
     # torch_cluster's neighbor cap keeps lowest-index senders, so regular
     # grids develop extreme OUT-degree skew (a few nodes feed hundreds of
     # receivers).  When the transpose buckets would be mostly padding, skip
