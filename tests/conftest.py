@@ -16,8 +16,14 @@ if "xla_force_host_platform_device_count" not in flags:
 # parity tests compare against torch fp32: keep matmuls in fp32
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 
-# persistent compilation cache: first run compiles, reruns are fast
+# Under the ambient axon env, sitecustomize imports jax BEFORE this file
+# runs, so the env vars above can come too late — force via jax.config
+# (backends initialize lazily, so this still wins).
 import jax
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+# persistent compilation cache: first run compiles, reruns are fast
 jax.config.update("jax_compilation_cache_dir", "/tmp/magnet_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
