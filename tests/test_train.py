@@ -132,3 +132,31 @@ def test_fit_graph_parallel(tmp_path):
     ]
     assert len(rows) == 3
     assert rows[-1]["train_loss"] < rows[0]["train_loss"]
+
+
+def test_loader_prefetch_and_transform(f1d_train):
+    """Threaded prefetch yields the same batches as the sync path, applies
+    transforms, and surfaces worker exceptions."""
+    from magnet_tpu.data.datasets import Dataset1D
+
+    ds = Dataset1D(f1d_train, "train", nt=20, nx=32)
+    sync = DataLoader(ds, 4, seed=3, prefetch=0)
+    pre = DataLoader(ds, 4, seed=3, prefetch=2)
+    sync.set_epoch(1)
+    pre.set_epoch(1)
+    for a, b in zip(sync, pre):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+    tagged = DataLoader(
+        ds, 4, seed=3, prefetch=2,
+        transform=lambda batch: {**batch, "tag": batch["u"].sum()},
+    )
+    assert "tag" in next(iter(tagged))
+
+    def boom(batch):
+        raise RuntimeError("worker failure")
+
+    bad = DataLoader(ds, 4, seed=3, prefetch=2, transform=boom)
+    with pytest.raises(RuntimeError, match="worker failure"):
+        list(bad)
