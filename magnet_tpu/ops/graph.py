@@ -247,16 +247,42 @@ def block_graph(
     """Pack an edge list into the tile-blocked layout."""
     n_pad = ((n_node + tile_n - 1) // tile_n) * tile_n
     n_tiles = n_pad // tile_n
-    order = np.argsort(receivers, kind="stable")
-    s = np.asarray(senders)[order]
-    r = np.asarray(receivers)[order]
-    tile_of = r // tile_n
-    counts = np.bincount(tile_of, minlength=n_tiles)
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    counts = np.bincount(receivers // tile_n, minlength=n_tiles)
     if e_tile is None:
-        e_tile = int(counts.max()) if len(r) else 1
+        e_tile = int(counts.max()) if len(receivers) else 1
         e_tile = max(128, ((e_tile + 127) // 128) * 128)
         e_tile = _chunkable_e_tile(e_tile)
-    assert counts.max() <= e_tile if len(r) else True
+    assert counts.max() <= e_tile if len(receivers) else True
+
+    # Sender-side tile policy (out-degree counts don't depend on packing).
+    # torch_cluster's neighbor cap keeps lowest-index senders, so regular
+    # grids develop extreme OUT-degree skew (a few nodes feed hundreds of
+    # receivers).  When the transpose buckets would be mostly padding, skip
+    # the sender-blocked layout — gather VJPs fall back to plain take.
+    if build_snd and len(receivers):
+        s_counts = np.bincount(senders // tile_n, minlength=n_tiles)
+        if e_tile_s is None:
+            e_tile_s = int(s_counts.max())
+            e_tile_s = max(128, ((e_tile_s + 127) // 128) * 128)
+            e_tile_s = _chunkable_e_tile(e_tile_s)
+        if e_tile_s > max(4 * e_tile, 4096):
+            build_snd = False
+        else:
+            assert s_counts.max() <= e_tile_s
+
+    if _native is not None and len(receivers):
+        S, RL, M, RG_flat, degree, SID, SL = _native.block_pack(
+            senders, receivers, n_node, tile_n, n_tiles,
+            e_tile, e_tile_s or 1, build_snd,
+        )
+        return BlockedGraph(S, RL, M, RG_flat, degree, n_pad, SID, SL)
+
+    order = np.argsort(receivers, kind="stable")
+    s = senders[order]
+    r = receivers[order]
+    tile_of = r // tile_n
 
     S = np.zeros((n_tiles, e_tile), np.int32)
     RL = np.zeros((n_tiles, e_tile), np.int32)

@@ -162,3 +162,62 @@ void mt_knn(const double* x, int nx, const double* y, int ny, int d, int k,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Tile-blocked edge packing (the host side of ops/pallas_kernels.py's MXU
+// aggregation; mirrors the numpy reference in ops/graph.py:block_graph).
+//
+// Receiver-side layout: edges stable-sorted by receiver, packed into
+// per-node-tile buckets of e_tile slots.  Sender-side transpose layout:
+// real flat slots stable-sorted by sender tile (for scatter-free gather
+// VJPs).  Both are O(E) counting sorts — tile-size policy (e_tile rounding,
+// skew guard) stays in Python, which passes the final sizes in.
+//
+// Caller pre-fills outputs: S/RL/RG/M/degree/SL zeroed, SID filled with the
+// dummy one-past-the-end id (n_tiles * e_tile).
+extern "C" void mt_block_graph(
+    const int32_t* senders, const int32_t* receivers, int64_t e,
+    int32_t n_node, int32_t tile_n, int32_t n_tiles,
+    int32_t e_tile, int32_t e_tile_s, int build_snd,
+    int32_t* S, int32_t* RL, float* M, int32_t* RG, float* degree,
+    int32_t* SID, int32_t* SL) {
+    // per-receiver counts -> degree + stable counting-sort cursors
+    std::vector<int64_t> cur(n_node + 1, 0);
+    for (int64_t i = 0; i < e; ++i) cur[receivers[i] + 1]++;
+    for (int32_t r = 0; r < n_node; ++r) degree[r] = (float)cur[r + 1];
+    for (int32_t r = 0; r < n_node; ++r) cur[r + 1] += cur[r];
+    // start of each node tile in the receiver-sorted order
+    std::vector<int64_t> tile_start(n_tiles + 1, e);
+    for (int32_t t = 0; t < n_tiles; ++t) {
+        int32_t r0 = t * tile_n;
+        tile_start[t] = cur[r0 < n_node ? r0 : n_node];
+    }
+    for (int64_t i = 0; i < e; ++i) {
+        int32_t r = receivers[i];
+        int64_t p = cur[r]++;  // position in receiver-sorted order (stable)
+        int32_t t = r / tile_n;
+        int64_t idx = (int64_t)t * e_tile + (p - tile_start[t]);
+        S[idx] = senders[i];
+        RL[idx] = r - t * tile_n;
+        RG[idx] = r;
+        M[idx] = 1.0f;
+    }
+    if (!build_snd) return;
+    // sender-tile stable counting sort over real flat slots, iterated in
+    // flat order (== receiver-sorted order, matching numpy's stable argsort)
+    std::vector<int64_t> ss(n_tiles + 1, 0);
+    for (int64_t i = 0; i < e; ++i) ss[senders[i] / tile_n + 1]++;
+    for (int32_t t = 0; t < n_tiles; ++t) ss[t + 1] += ss[t];
+    std::vector<int64_t> s_start(ss.begin(), ss.end() - 1);
+    for (int32_t t = 0; t < n_tiles; ++t) {
+        int64_t cnt = tile_start[t + 1] - tile_start[t];
+        for (int64_t slot = 0; slot < cnt; ++slot) {
+            int64_t flat = (int64_t)t * e_tile + slot;
+            int32_t s = S[flat];
+            int32_t st = s / tile_n;
+            int64_t sidx = (int64_t)st * e_tile_s + (ss[st]++ - s_start[st]);
+            SID[sidx] = (int32_t)flat;
+            SL[sidx] = s - st * tile_n;
+        }
+    }
+}

@@ -248,3 +248,41 @@ def test_pallas_kernel_chunked_large_tile(monkeypatch):
     out = pk._pallas_impl(msgs, recv, mask, 128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_block_graph_native_matches_numpy():
+    """C++ mt_block_graph produces byte-identical layouts to the numpy
+    packing (all fields, incl. sender-transpose blocks and the skew guard)."""
+    import magnet_tpu.ops.graph as G
+
+    if G._native is None:
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(7)
+
+    def both(s, r, n, **kw):
+        bg_nat = G.block_graph(s, r, n, **kw)
+        nat = G._native
+        G._native = None
+        try:
+            bg_np = G.block_graph(s, r, n, **kw)
+        finally:
+            G._native = nat
+        for f in ("senders", "recv_local", "mask", "receivers", "degree"):
+            np.testing.assert_array_equal(getattr(bg_nat, f), getattr(bg_np, f))
+        assert bg_nat.n_node_pad == bg_np.n_node_pad
+        assert (bg_nat.snd_edge_ids is None) == (bg_np.snd_edge_ids is None)
+        if bg_nat.snd_edge_ids is not None:
+            np.testing.assert_array_equal(bg_nat.snd_edge_ids, bg_np.snd_edge_ids)
+            np.testing.assert_array_equal(bg_nat.snd_local, bg_np.snd_local)
+        return bg_nat
+
+    n, e = 700, 5000
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    both(s, r, n)
+    both(s, r, n, build_snd=False)
+    # extreme out-degree skew -> sender layout skipped by the guard
+    bg = both(np.zeros(e, np.int32), r, n)
+    assert bg.snd_edge_ids is None
+    # duplicate edges + every receiver in one tile (stable-order stress)
+    both(np.array([3, 1, 3, 1, 0], np.int32), np.array([2, 2, 2, 0, 2], np.int32), 130)
