@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
-from magnet_tpu.nn.core import MLP, LayerNorm, Linear
+from magnet_tpu.nn.core import MLP, LayerNorm
 from magnet_tpu.ops.segment import aggregate_mean_graph, gather_nodes
 
 
@@ -52,11 +52,19 @@ class InteractionNetwork(fnn.Module):
 
     x: (N, C), e: (E, C); returns (x', e') with residuals.
 
-    TPU optimization (same math, fp-reassociated): the first edge-MLP layer
-    over concat(x_i, x_j, e) is split into three weight chunks; the x-chunks
-    are applied ONCE on the N-sized node array and then gathered per edge —
-    E·C·H FLOPs for two of three chunks collapse to N·C·H (E ≈ 20·N here).
-    Init matches the unsplit torch Linear (bound 1/sqrt(3C)).
+    TPU optimizations (same math, fp-reassociated):
+      * the first edge-MLP layer over concat(x_i, x_j, e) is split into
+        three weight chunks; the x-chunks are applied ONCE on the N-sized
+        node array and then gathered per edge — E·C·H FLOPs for two of
+        three chunks collapse to N·C·H (E ≈ 20·N here).  Init matches the
+        unsplit torch Linear (bound 1/sqrt(3C)).
+      * on TPU with the blocked edge layout, the whole edge tail
+        [receiver gather + rest layers + LayerNorm + masked aggregation]
+        runs as ONE VMEM-resident Pallas kernel
+        (ops/pallas_kernels.py:fused_edge_tail_agg) — edge-sized MLP
+        intermediates never touch HBM.  The tail weights are therefore
+        owned as raw stacked params (w_rest/b_rest/w_out/b_out/
+        ln_scale/ln_bias) rather than Dense submodules.
     """
 
     node_out: int
@@ -66,7 +74,10 @@ class InteractionNetwork(fnn.Module):
     dtype: Any = None
 
     def setup(self):
-        from magnet_tpu.nn.core import torch_bias_init, torch_kernel_init_fanmult
+        from magnet_tpu.nn.core import (
+            torch_kernel_init_fan,
+            torch_kernel_init_fanmult,
+        )
 
         init3 = torch_kernel_init_fanmult(3)
 
@@ -88,23 +99,41 @@ class InteractionNetwork(fnn.Module):
             self.mlp_hidden, use_bias=True, kernel_init=init3,
             bias_init=bias3, dtype=self.dtype,
         )
-        # remaining edge MLP layers: hidden x (mlp_layers-1), then out
-        self.e_rest = [
-            Linear(self.mlp_hidden, dtype=self.dtype)
-            for _ in range(self.mlp_layers - 1)
-        ]
-        self.e_out = Linear(self.edge_out, dtype=self.dtype)
-        self.e_ln = LayerNorm(dtype=self.dtype)
+        # remaining edge MLP layers (torch nn.Linear default init,
+        # U(±1/sqrt(fan_in)) for kernel and bias alike)
+        h = self.mlp_hidden
+        init_h = torch_kernel_init_fan(h)
+        self.w_rest = self.param(
+            "w_rest", init_h, (self.mlp_layers - 1, h, h))
+        self.b_rest = self.param(
+            "b_rest", init_h, (self.mlp_layers - 1, h))
+        self.w_out = self.param("w_out", init_h, (h, self.edge_out))
+        self.b_out = self.param("b_out", init_h, (self.edge_out,))
+        self.ln_scale = self.param(
+            "ln_scale", fnn.initializers.ones, (self.edge_out,))
+        self.ln_bias = self.param(
+            "ln_bias", fnn.initializers.zeros, (self.edge_out,))
         self.node_fn = fnn.Sequential(
             [MLP([self.mlp_hidden] * self.mlp_layers, self.node_out,
                  dtype=self.dtype), LayerNorm(dtype=self.dtype)]
         )
 
     def _edge_tail(self, h):
+        """relu -> rest hidden layers -> out Linear -> LayerNorm(eps=1e-5),
+        matching torch Sequential(MLP, LayerNorm) semantics."""
+        dt = self.dtype
+        cast = (lambda a: a.astype(dt)) if dt is not None else (lambda a: a)
         h = jax.nn.relu(h)
-        for lin in self.e_rest:
-            h = jax.nn.relu(lin(h))
-        return self.e_ln(self.e_out(h))
+        for k in range(self.mlp_layers - 1):
+            h = jax.nn.relu(cast(h) @ cast(self.w_rest[k])
+                            + cast(self.b_rest[k]))
+        y = cast(h) @ cast(self.w_out) + cast(self.b_out)
+        y32 = y.astype(jnp.float32)
+        mu = jnp.mean(y32, axis=-1, keepdims=True)
+        var = jnp.mean(y32 * y32, axis=-1, keepdims=True) - mu * mu
+        y32 = (y32 - mu) * jax.lax.rsqrt(var + 1e-5) * self.ln_scale \
+            + self.ln_bias
+        return cast(y32) if dt is not None else y32
 
     def edge_mlp(self, msg_in):
         """Edge MLP over explicit concat(x_i, x_j, e) — used by the
@@ -120,7 +149,41 @@ class InteractionNetwork(fnn.Module):
     def node_mlp(self, upd_in):
         return self.node_fn(upd_in)
 
+    def _fusable(self, gs) -> bool:
+        import os
+
+        return (
+            gs.blk_recv_local is not None
+            and self.dtype is None
+            and not os.environ.get("MAGNET_TPU_NO_FUSED")
+        )
+
+    def _call_fused(self, x, e, gs):
+        from magnet_tpu.ops.pallas_kernels import fused_edge_tail_agg
+
+        p_xi = self.e_w_xi(x)                                    # (N, H)
+        p_xj = self.e_w_xj(x)                                    # (N, H)
+        h0 = gather_nodes(p_xj, gs, "sender") + self.e_w_e(e)    # (E, H)
+        t, et = gs.blk_recv_local.shape
+        tile_n = 128
+        n_pad = t * tile_n
+        n = x.shape[0]
+        hdim = h0.shape[-1]
+        pxi_pad = jnp.pad(p_xi, ((0, n_pad - n), (0, 0)))
+        agg_sum = fused_edge_tail_agg(
+            h0.reshape(t, et, hdim),
+            pxi_pad.reshape(t, tile_n, hdim),
+            self.w_rest, self.b_rest, self.w_out, self.b_out,
+            self.ln_scale, self.ln_bias,
+            gs.blk_recv_local, gs.edge_mask.reshape(t, et),
+        )
+        agg = agg_sum.reshape(n_pad, -1)[:n] / jnp.maximum(gs.degree, 1.0)
+        upd = self.node_fn(jnp.concatenate([agg.astype(x.dtype), x], axis=-1))
+        return x + upd, e + e
+
     def __call__(self, x, e, gs):
+        if self._fusable(gs):
+            return self._call_fused(x, e, gs)
         p_xi = self.e_w_xi(x)                                    # (N, H)
         p_xj = self.e_w_xj(x)                                    # (N, H)
         h = (

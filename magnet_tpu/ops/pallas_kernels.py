@@ -148,3 +148,399 @@ def _bwd(tile_n, res, g):
 
 
 blocked_segment_sum.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused edge pipeline: [receiver gather + edge-MLP tail + LayerNorm + masked
+# aggregation] in one VMEM-resident kernel.
+#
+# The InteractionNetwork hot loop (reference magnet_cnn.py:46-93) computes,
+# per edge e with receiver n(e):
+#   h   = relu(h0[e] + p_xi[n(e)])          h0 = W_xj·x[sender] + W_e·edge + b
+#   h   = relu(h @ W_rest[k] + b_rest[k])   for each remaining hidden layer
+#   y   = LN(h @ W_out + b_out)
+#   agg[n] = sum over incoming e of y[e]
+# Unfused, every E-sized intermediate round-trips HBM (~10 passes per mp
+# step).  Fused, HBM traffic is: read h0 (E,H) + read p_xi (N,H) + write agg
+# (N,C); the gathers ride the MXU as tile-local one-hot matmuls (edges are
+# receiver-tile-packed by ops/graph.py:block_graph so every receiver gather
+# stays within the 128-row node tile).
+#
+# The backward kernel recomputes the tail in VMEM (FLOPs are free relative
+# to HBM here) and emits d_h0, d_pxi and all weight grads, accumulated
+# across grid steps (TPU grid is sequential; constant-index_map output
+# blocks persist in VMEM).
+# ---------------------------------------------------------------------------
+
+FUSED_MAX_E_CHUNK = 1024  # VMEM budget: bwd holds ~L activation chunks
+
+
+def _fused_e_chunk(e: int) -> int:
+    if e <= FUSED_MAX_E_CHUNK:
+        return e
+    k = e // 128
+    for m in range(FUSED_MAX_E_CHUNK // 128, 0, -1):
+        if k % m == 0:
+            return 128 * m
+    return 128
+
+
+LN_EPS = 1e-5  # torch nn.LayerNorm default (reference magnet_cnn.py:58)
+
+
+def _tail_ref(h0g, w_rest, b_rest, w_out, b_out, ln_s, ln_b):
+    """relu -> rest layers -> out -> LayerNorm on pre-gathered inputs."""
+    h = jax.nn.relu(h0g)
+    for k in range(w_rest.shape[0]):
+        h = jax.nn.relu(h @ w_rest[k] + b_rest[k])
+    y = h @ w_out + b_out
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+    return (y - mu) * jax.lax.rsqrt(var + LN_EPS) * ln_s + ln_b
+
+
+def _fused_ref_impl(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+                    recv_local, mask):
+    """jnp reference (CPU fallback + test oracle).  Shapes:
+    h0 (T,E,H), pxi (T,tile_n,H), recv_local/mask (T,E) -> (T,tile_n,C)."""
+    tile_n = pxi.shape[1]
+    gath = jnp.take_along_axis(pxi, recv_local[..., None], axis=1)
+    y = _tail_ref(h0 + gath, w_rest, b_rest, w_out, b_out, ln_s, ln_b)
+    iota = jnp.arange(tile_n, dtype=recv_local.dtype)
+    onehot = (recv_local[:, None, :] == iota[None, :, None]).astype(y.dtype)
+    onehot = onehot * mask[:, None, :].astype(y.dtype)
+    return jnp.einsum("tne,tec->tnc", onehot, y,
+                      preferred_element_type=jnp.float32)
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_t(a, b):
+    """a^T @ b for (E,H)-style operands: contract the leading axis."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _fused_fwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+                      recv_local, mask):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, E, H = h0.shape
+    tile_n = pxi.shape[1]
+    L1 = w_rest.shape[0]
+    C = w_out.shape[1]
+    chunk = _fused_e_chunk(E)
+    n_chunks = E // chunk
+    recv3 = recv_local.reshape(T, 1, E)
+    mask3 = mask.reshape(T, 1, E)
+    b_out2 = b_out.reshape(1, C)
+    ln_s2 = ln_s.reshape(1, C)
+    ln_b2 = ln_b.reshape(1, C)
+    if not L1:  # dummy block; the static loop skips it
+        w_rest = jnp.zeros((1, H, H), jnp.float32)
+        b_rest = jnp.zeros((1, H), jnp.float32)
+
+    def kernel(h0_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref, ls_ref,
+               lb_ref, recv_ref, mask_ref, out_ref):
+        ec = pl.program_id(1)
+        recv = recv_ref[0, 0]                               # (chunk,)
+        m = mask_ref[0, 0]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
+        oh_g = (cols == recv[:, None]).astype(jnp.float32)  # (chunk, tile_n)
+        gath = _dot(oh_g, pxi_ref[0])                       # (chunk, H)
+        h = jax.nn.relu(h0_ref[0] + gath)
+        for k in range(L1):
+            h = jax.nn.relu(_dot(h, wr_ref[k]) + br_ref[k][None, :])
+        y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+        y = (y - mu) * jax.lax.rsqrt(var + LN_EPS) * ls_ref[0][None, :] \
+            + lb_ref[0][None, :]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
+        oh_a = (rows == recv[None, :]).astype(jnp.float32) * m[None, :]
+        part = _dot(oh_a, y)                                # (tile_n, C)
+
+        @pl.when(ec == 0)
+        def _():
+            out_ref[0] = part
+
+        @pl.when(ec != 0)
+        def _():
+            out_ref[0] = out_ref[0] + part
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda t, ec: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    flops_tail = 2 * T * E * (tile_n * H + L1 * H * H + H * C + tile_n * C)
+    return pl.pallas_call(
+        kernel,
+        grid=(T, n_chunks),
+        interpret=bool(os.environ.get("MAGNET_TPU_PALLAS_INTERPRET")),
+        in_specs=[
+            pl.BlockSpec((1, chunk, H), lambda t, ec: (t, ec, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, H), lambda t, ec: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(max(L1, 1), H, H),
+            full(max(L1, 1), H),
+            full(H, C),
+            full(1, C),
+            full(1, C),
+            full(1, C),
+            pl.BlockSpec((1, 1, chunk), lambda t, ec: (t, 0, ec),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda t, ec: (t, 0, ec),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, C), lambda t, ec: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, tile_n, C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_tail,
+            bytes_accessed=4 * (T * E * H + T * tile_n * (H + C)),
+            transcendentals=0,
+        ),
+    )(h0, pxi, w_rest, b_rest, w_out, b_out2, ln_s2, ln_b2, recv3, mask3)
+
+
+def _fused_bwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+                      recv_local, mask, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, E, H = h0.shape
+    tile_n = pxi.shape[1]
+    L1 = w_rest.shape[0]
+    C = w_out.shape[1]
+    chunk = _fused_e_chunk(E)
+    n_chunks = E // chunk
+    recv3 = recv_local.reshape(T, 1, E)
+    mask3 = mask.reshape(T, 1, E)
+    b_out2 = b_out.reshape(1, C)
+    ln_s2 = ln_s.reshape(1, C)
+    if not L1:  # dummy block; the static loop skips it
+        w_rest = jnp.zeros((1, H, H), jnp.float32)
+        b_rest = jnp.zeros((1, H), jnp.float32)
+
+    def kernel(h0_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref, ls_ref,
+               recv_ref, mask_ref, g_ref,
+               dh0_ref, dpxi_ref, dwr_ref, dbr_ref, dwo_ref, dbo_ref,
+               dls_ref, dlb_ref):
+        t = pl.program_id(0)
+        ec = pl.program_id(1)
+        recv = recv_ref[0, 0]
+        m = mask_ref[0, 0]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
+        oh_g = (cols == recv[:, None]).astype(jnp.float32)
+
+        # --- recompute forward, keeping layer inputs ---
+        gath = _dot(oh_g, pxi_ref[0])
+        h = jax.nn.relu(h0_ref[0] + gath)
+        hs = [h]                                    # inputs to rest layers
+        for k in range(L1):
+            h = jax.nn.relu(_dot(h, wr_ref[k]) + br_ref[k][None, :])
+            hs.append(h)
+        y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+        inv = jax.lax.rsqrt(var + LN_EPS)
+        xhat = (y - mu) * inv
+
+        # --- backward ---
+        d_out = _dot(oh_g, g_ref[0]) * m[:, None]   # (chunk, C) masked
+        dls = jnp.sum(d_out * xhat, axis=0, keepdims=True)
+        dlb = jnp.sum(d_out, axis=0, keepdims=True)
+        d_xhat = d_out * ls_ref[0][None, :]
+        d_y = inv * (
+            d_xhat
+            - jnp.mean(d_xhat, axis=-1, keepdims=True)
+            - xhat * jnp.mean(d_xhat * xhat, axis=-1, keepdims=True)
+        )
+        dwo = _dot_t(hs[L1], d_y)                   # (H, C)
+        dbo = jnp.sum(d_y, axis=0, keepdims=True)
+        d_h = jax.lax.dot_general(                  # d_y @ W_out^T
+            d_y, wo_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwr_list = []
+        dbr_list = []
+        for k in range(L1 - 1, -1, -1):
+            d_h = d_h * (hs[k + 1] > 0)
+            dwr_list.append(_dot_t(hs[k], d_h))
+            dbr_list.append(jnp.sum(d_h, axis=0))
+            d_h = jax.lax.dot_general(
+                d_h, wr_ref[k], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        d_h = d_h * (hs[0] > 0)
+        dh0_ref[0] = d_h
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
+        oh_a = (rows == recv[None, :]).astype(jnp.float32)
+        dpxi_part = _dot(oh_a, d_h)
+
+        first = jnp.logical_and(t == 0, ec == 0)
+
+        @pl.when(ec == 0)
+        def _():
+            dpxi_ref[0] = dpxi_part
+
+        @pl.when(ec != 0)
+        def _():
+            dpxi_ref[0] = dpxi_ref[0] + dpxi_part
+
+        if L1:
+            dwr_new = jnp.stack(dwr_list[::-1])
+            dbr_new = jnp.stack(dbr_list[::-1])
+        else:
+            dwr_new = jnp.zeros((1, H, H), jnp.float32)
+            dbr_new = jnp.zeros((1, H), jnp.float32)
+
+        @pl.when(first)
+        def _():
+            dwr_ref[...] = dwr_new
+            dbr_ref[...] = dbr_new
+            dwo_ref[...] = dwo
+            dbo_ref[...] = dbo
+            dls_ref[...] = dls
+            dlb_ref[...] = dlb
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dwr_ref[...] = dwr_ref[...] + dwr_new
+            dbr_ref[...] = dbr_ref[...] + dbr_new
+            dwo_ref[...] = dwo_ref[...] + dwo
+            dbo_ref[...] = dbo_ref[...] + dbo
+            dls_ref[...] = dls_ref[...] + dls
+            dlb_ref[...] = dlb_ref[...] + dlb
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda t, ec: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    outs = (
+        jax.ShapeDtypeStruct((T, E, H), jnp.float32),        # dh0
+        jax.ShapeDtypeStruct((T, tile_n, H), jnp.float32),   # dpxi
+        jax.ShapeDtypeStruct((max(L1, 1), H, H), jnp.float32),
+        jax.ShapeDtypeStruct((max(L1, 1), H), jnp.float32),
+        jax.ShapeDtypeStruct((H, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, chunk, H), lambda t, ec: (t, ec, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_n, H), lambda t, ec: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        full(max(L1, 1), H, H),
+        full(max(L1, 1), H),
+        full(H, C),
+        full(1, C),
+        full(1, C),
+        full(1, C),
+    )
+    flops_tail = 4 * T * E * (tile_n * H + 2 * L1 * H * H + 2 * H * C
+                              + tile_n * C)
+    dh0, dpxi, dwr, dbr, dwo, dbo, dls, dlb = pl.pallas_call(
+        kernel,
+        grid=(T, n_chunks),
+        interpret=bool(os.environ.get("MAGNET_TPU_PALLAS_INTERPRET")),
+        in_specs=[
+            pl.BlockSpec((1, chunk, H), lambda t, ec: (t, ec, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, H), lambda t, ec: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(max(L1, 1), H, H),
+            full(max(L1, 1), H),
+            full(H, C),
+            full(1, C),
+            full(1, C),
+            pl.BlockSpec((1, 1, chunk), lambda t, ec: (t, 0, ec),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda t, ec: (t, 0, ec),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, C), lambda t, ec: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=outs,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_tail,
+            bytes_accessed=4 * (2 * T * E * H + T * tile_n * (2 * H + 2 * C)),
+            transcendentals=0,
+        ),
+    )(h0, pxi, w_rest, b_rest, w_out, b_out2, ln_s2, recv3, mask3, g)
+    if not L1:
+        dwr = jnp.zeros((0, H, H), jnp.float32)
+        dbr = jnp.zeros((0, H), jnp.float32)
+    return (dh0, dpxi, dwr, dbr, dwo, dbo.reshape(C), dls.reshape(C),
+            dlb.reshape(C))
+
+
+def _fused_ref_bwd(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+                   recv_local, mask, g):
+    """jnp fallback backward (CPU): plain autodiff of the reference impl."""
+    def f(h0_, pxi_, wr_, br_, wo_, bo_, ls_, lb_):
+        return _fused_ref_impl(h0_, pxi_, wr_, br_, wo_, bo_, ls_, lb_,
+                               recv_local, mask)
+
+    _, vjp = jax.vjp(f, h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b)
+    return vjp(g)
+
+
+def _fused_impl(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+                recv_local, mask):
+    if _use_pallas():
+        return _fused_fwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out,
+                                 ln_s, ln_b, recv_local, mask)
+    return _fused_ref_impl(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+                           recv_local, mask)
+
+
+@jax.custom_vjp
+def fused_edge_tail_agg(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+                        recv_local, mask):
+    """Fused [receiver-gather + edge-MLP tail + LayerNorm + masked segment
+    sum] over receiver-tile-blocked edges.
+
+    Args:
+      h0: (T, E_TILE, H) first-layer pre-activations minus the receiver
+          chunk (W_xj·x[sender] + W_e·edge + bias), blocked layout.
+      pxi: (T, tile_n, H) receiver-side first-layer chunk per node tile.
+      w_rest/b_rest: (L-1, H, H)/(L-1, H) remaining hidden layers.
+      w_out/b_out: (H, C)/(C,) output layer; ln_s/ln_b: (C,) LayerNorm.
+      recv_local: (T, E_TILE) int32 receiver index within the tile.
+      mask: (T, E_TILE) 1/0 edge validity.
+    Returns: (T, tile_n, C) float32 masked sums of the per-edge outputs.
+    """
+    return _fused_impl(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+                       recv_local, mask)
+
+
+def _fused_fwd(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+               recv_local, mask):
+    out = _fused_impl(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s,
+                      ln_b, recv_local, mask)
+    return out, (h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+                 recv_local, mask)
+
+
+def _fused_bwd(res, g):
+    h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b, recv_local, mask = res
+    if _use_pallas():
+        grads = _fused_bwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out,
+                                  ln_s, ln_b, recv_local, mask, g)
+    else:
+        grads = _fused_ref_bwd(h0, pxi, w_rest, b_rest, w_out, b_out,
+                               ln_s, ln_b, recv_local, mask, g)
+    dh0, dpxi, dwr, dbr, dwo, dbo, dls, dlb = grads
+    return (dh0.astype(h0.dtype), dpxi.astype(pxi.dtype), dwr, dbr, dwo,
+            dbo, dls, dlb, None, None)
+
+
+fused_edge_tail_agg.defvjp(_fused_fwd, _fused_bwd)

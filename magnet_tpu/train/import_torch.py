@@ -97,17 +97,29 @@ def _interaction_step(sd, prefix, mlp_layers, latent):
             "kernel": np.ascontiguousarray(w0[:, 2 * c :].T),
             "bias": np.ascontiguousarray(b0),
         },
-        "e_ln": {"LayerNorm_0": _ln(sd, f"{prefix}.edge_fn.1")},
     }
     # remaining edge Linears: hidden at torch indices 2..2*(mlp_layers-1),
-    # final at 2*mlp_layers
-    for j in range(1, mlp_layers):
-        step[f"e_rest_{j - 1}"] = {
-            "Dense_0": _lin(sd, f"{prefix}.edge_fn.0.layers.{2 * j}")
-        }
-    step["e_out"] = {
-        "Dense_0": _lin(sd, f"{prefix}.edge_fn.0.layers.{2 * mlp_layers}")
-    }
+    # final at 2*mlp_layers — stacked into the raw tail params the fused
+    # Pallas edge kernel consumes (nn/graphnet.py)
+    h = int(w0.shape[0])
+    if mlp_layers > 1:
+        step["w_rest"] = np.stack([
+            np.ascontiguousarray(sd[f"{prefix}.edge_fn.0.layers.{2 * j}.weight"].T)
+            for j in range(1, mlp_layers)
+        ])
+        step["b_rest"] = np.stack([
+            np.ascontiguousarray(sd[f"{prefix}.edge_fn.0.layers.{2 * j}.bias"])
+            for j in range(1, mlp_layers)
+        ])
+    else:
+        step["w_rest"] = np.zeros((0, h, h), np.float32)
+        step["b_rest"] = np.zeros((0, h), np.float32)
+    out_lin = _lin(sd, f"{prefix}.edge_fn.0.layers.{2 * mlp_layers}")
+    step["w_out"] = out_lin["kernel"]
+    step["b_out"] = out_lin["bias"]
+    ln = _ln(sd, f"{prefix}.edge_fn.1")
+    step["ln_scale"] = ln["scale"]
+    step["ln_bias"] = ln["bias"]
     node_mlp, node_ln = _seq_mlp_ln(sd, f"{prefix}.node_fn", mlp_layers)
     step["node_fn"] = {"layers_0": node_mlp, "layers_1": node_ln}
     return step

@@ -206,3 +206,50 @@ def test_temporal_decoder_table_all_windows(tw):
     params = dec.init(_jax.random.PRNGKey(0), h)
     out = dec.apply(params, h)
     assert out.shape == (3, tw)
+
+
+def test_interaction_network_fused_matches_unfused():
+    """The fused Pallas edge-pipeline path == the legacy gather/MLP/agg
+    path, values AND grads (CPU: fused runs the jnp reference impl)."""
+    from magnet_tpu.models.common import Graph
+    from magnet_tpu.nn.graphnet import InteractionNetwork
+    from magnet_tpu.ops.graph import block_graph, radius_graph_np
+
+    rng = np.random.default_rng(7)
+    n, c = 70, 8
+    pos = rng.uniform(-1, 1, (n, 2))
+    s, t = radius_graph_np(pos, 0.5, loop=True)
+    bg = block_graph(s, t, n)
+    gs = Graph(
+        senders=jnp.asarray(bg.senders.reshape(-1)),
+        receivers=jnp.asarray(bg.receivers),
+        edge_mask=jnp.asarray(bg.mask.reshape(-1)),
+        blk_recv_local=jnp.asarray(bg.recv_local),
+        degree=jnp.asarray(bg.degree),
+        blk_snd_edge_ids=(jnp.asarray(bg.snd_edge_ids)
+                          if bg.snd_edge_ids is not None else None),
+        blk_snd_local=(jnp.asarray(bg.snd_local)
+                       if bg.snd_local is not None else None),
+    )
+    x = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(bg.senders.size, c)).astype(np.float32))
+    mod = InteractionNetwork(node_out=c, edge_out=c, mlp_layers=2,
+                             mlp_hidden=c)
+    params = mod.init(jax.random.PRNGKey(0), x, e, gs)
+
+    def loss(p, x_, e_):
+        ox, oe = mod.apply(p, x_, e_, gs)
+        return jnp.sum(ox**2) + jnp.sum(jnp.abs(oe))
+
+    import os
+
+    vf, gf = jax.value_and_grad(loss, argnums=(0, 1, 2))(params, x, e)
+    os.environ["MAGNET_TPU_NO_FUSED"] = "1"
+    try:
+        vu, gu = jax.value_and_grad(loss, argnums=(0, 1, 2))(params, x, e)
+    finally:
+        del os.environ["MAGNET_TPU_NO_FUSED"]
+    np.testing.assert_allclose(float(vf), float(vu), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gu)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-5)

@@ -286,3 +286,59 @@ def test_block_graph_native_matches_numpy():
     assert bg.snd_edge_ids is None
     # duplicate edges + every receiver in one tile (stable-order stress)
     both(np.array([3, 1, 3, 1, 0], np.int32), np.array([2, 2, 2, 0, 2], np.int32), 130)
+
+
+def _fused_rand_args(rng, T, E, H, C, L1, tile_n=128):
+    return dict(
+        h0=jnp.asarray(rng.normal(size=(T, E, H)).astype(np.float32)),
+        pxi=jnp.asarray(rng.normal(size=(T, tile_n, H)).astype(np.float32)),
+        wr=jnp.asarray(rng.normal(size=(L1, H, H)).astype(np.float32) * 0.2),
+        br=jnp.asarray(rng.normal(size=(L1, H)).astype(np.float32) * 0.2),
+        wo=jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.2),
+        bo=jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.2),
+        ls=jnp.asarray(rng.normal(size=(C,)).astype(np.float32)),
+        lb=jnp.asarray(rng.normal(size=(C,)).astype(np.float32)),
+        recv=jnp.asarray(rng.integers(0, tile_n, size=(T, E)).astype(np.int32)),
+        mask=jnp.asarray((rng.uniform(size=(T, E)) > 0.2).astype(np.float32)),
+    )
+
+
+@pytest.mark.parametrize("E,L1", [(256, 2), (2048, 1), (256, 0)])
+def test_fused_edge_tail_interpret_matches_ref(monkeypatch, E, L1):
+    """Fused [gather+MLP tail+LN+agg] Pallas kernel (interpret mode) vs the
+    jnp reference, incl. the E-chunked path (E=2048 -> 2 chunks) and the
+    no-rest-layers edge case."""
+    from magnet_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(21)
+    a = _fused_rand_args(rng, T=3, E=E, H=64, C=32, L1=L1)
+    ref = pk._fused_ref_impl(a["h0"], a["pxi"], a["wr"], a["br"], a["wo"],
+                             a["bo"], a["ls"], a["lb"], a["recv"], a["mask"])
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    out = pk._fused_fwd_pallas(a["h0"], a["pxi"], a["wr"], a["br"], a["wo"],
+                               a["bo"], a["ls"], a["lb"], a["recv"], a["mask"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_fused_edge_tail_grads_interpret(monkeypatch):
+    """Pallas backward kernel (interpret mode) vs autodiff of the jnp
+    reference, all eight differentiable inputs."""
+    from magnet_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(22)
+    a = _fused_rand_args(rng, T=2, E=256, H=64, C=64, L1=2)
+    order = ("h0", "pxi", "wr", "br", "wo", "bo", "ls", "lb")
+    g = jnp.asarray(rng.normal(size=(2, 128, 64)).astype(np.float32))
+
+    def ref_loss(*p):
+        return jnp.sum(pk._fused_ref_impl(*p, a["recv"], a["mask"]) * g)
+
+    want = jax.grad(ref_loss, argnums=tuple(range(8)))(
+        *[a[k] for k in order])
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    got = pk._fused_bwd_pallas(*[a[k] for k in order], a["recv"], a["mask"],
+                               g)
+    for name, w, h in zip(order, want, got):
+        np.testing.assert_allclose(np.asarray(h), np.asarray(w), rtol=1e-3,
+                                   atol=1e-4, err_msg=name)
