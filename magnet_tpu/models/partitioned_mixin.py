@@ -39,11 +39,15 @@ class PartitionedGraphMixin:
 
     # ---- host-side ----------------------------------------------------
     def build_graph_partitioned(self, batch, n_shards: int,
-                                halo: bool = False):
+                                halo=False):
+        """halo: False = all-gather variant; True = halo all_to_all;
+        "overlap" = halo all_to_all with the interior/boundary edge split
+        (collective overlapped with interior compute)."""
         from magnet_tpu.ops.graph import radius_graph_np
         from magnet_tpu.parallel.graph_partition import (
             partition_graph,
             partition_graph_halo,
+            partition_graph_halo_overlap,
         )
 
         coords = np.asarray(batch[self._pp_query_key()])
@@ -57,6 +61,10 @@ class PartitionedGraphMixin:
             radius_graph_np(allc[b], self.radius, loop=True)
             for b in range(bsz)
         ]
+        if halo == "overlap":
+            return self._build_overlap(
+                raw, n_node, n_shards, bsz, partition_graph_halo_overlap
+            )
         e_shard = k_max = 1
         for s, t in raw:
             sg = partition_graph(s, t, n_node, n_shards)
@@ -104,15 +112,65 @@ class PartitionedGraphMixin:
             out["senders_remap"] = jnp.asarray(remap)
         return out
 
+    def _build_overlap(self, raw, n_node, n_shards, bsz, part):
+        """Two-pass [interior | boundary] partition: measure per-sample
+        sizes, then rebuild batch-uniform."""
+        probe = [part(s, t, n_node, n_shards) for s, t in raw]
+        e_int = max(g.e_int for g in probe)
+        e_bnd = max(g.senders.shape[1] - g.e_int for g in probe)
+        k_int = max(g.t_int.shape[2] for g in probe)
+        k_bnd = max(g.t_bnd.shape[2] for g in probe)
+        h_pad = max(g.halo_idx.shape[2] for g in probe)
+        sgs = [
+            part(s, t, n_node, n_shards, e_int=e_int, e_bnd=e_bnd,
+                 k_int=k_int, k_bnd=k_bnd, h_pad=h_pad)
+            for s, t in raw
+        ]
+        ns = sgs[0].n_node_pad // n_shards
+        shard_off = (np.arange(n_shards, dtype=np.int32) * ns)[None, :, None]
+        senders = np.stack([g.senders for g in sgs])      # (B, G, Ei+Eb)
+        recv_loc = np.stack([g.receivers_loc for g in sgs])
+        remap = np.stack([g.senders_remap for g in sgs])
+        mask = np.stack([g.edge_mask for g in sgs])
+        recv_glob = recv_loc + shard_off
+        c = e_int
+        out = {
+            "remap_int": jnp.asarray(remap[:, :, :c]),
+            "recv_int": jnp.asarray(recv_loc[:, :, :c]),
+            "mask_int": jnp.asarray(mask[:, :, :c]),
+            "t_int": jnp.asarray(np.stack([g.t_int for g in sgs])),
+            "remap_bnd": jnp.asarray(remap[:, :, c:]),
+            "recv_bnd": jnp.asarray(recv_loc[:, :, c:]),
+            "mask_bnd": jnp.asarray(mask[:, :, c:]),
+            "t_bnd": jnp.asarray(np.stack([g.t_bnd for g in sgs])),
+            "degree": jnp.asarray(np.stack([g.degree for g in sgs])),
+            "halo_idx": jnp.asarray(np.stack([g.halo_idx for g in sgs])),
+            # per-region GLOBAL edge endpoints for edge-feature builds
+            "senders_flat_int": jnp.asarray(
+                senders[:, :, :c].reshape(bsz, -1)),
+            "receivers_flat_int": jnp.asarray(
+                recv_glob[:, :, :c].reshape(bsz, -1)),
+            "senders_flat_bnd": jnp.asarray(
+                senders[:, :, c:].reshape(bsz, -1)),
+            "receivers_flat_bnd": jnp.asarray(
+                recv_glob[:, :, c:].reshape(bsz, -1)),
+            "n_node": n_node,
+            "n_node_pad": sgs[0].n_node_pad,
+            "n_shards": n_shards,
+        }
+        return out
+
     # ---- device-side --------------------------------------------------
     def forward_partitioned(self, params, x_t, coords, cell, t, hr_last,
                             pg, mesh):
         from magnet_tpu.nn.graphnet import InteractionNetwork
         from magnet_tpu.parallel.graph_partition import (
             interaction_step_halo,
+            interaction_step_halo_overlap,
             interaction_step_local,
             make_partitioned_processor,
             make_partitioned_processor_halo,
+            make_partitioned_processor_halo_overlap,
         )
 
         core = self.core
@@ -121,19 +179,38 @@ class PartitionedGraphMixin:
         node_feats, hr_points, all_feats, all_coords = apply(
             "graph_pre", x_t, coords, cell, t
         )
-        edge_feats = core_cls.edge_features(
-            all_feats, all_coords, pg["senders_flat"], pg["receivers_flat"]
-        )
+        overlap = "t_int" in pg
+        if overlap:
+            ef_int_raw = core_cls.edge_features(
+                all_feats, all_coords,
+                pg["senders_flat_int"], pg["receivers_flat_int"],
+            )
+            ef_bnd_raw = core_cls.edge_features(
+                all_feats, all_coords,
+                pg["senders_flat_bnd"], pg["receivers_flat_bnd"],
+            )
+            n_int = ef_int_raw.shape[1]               # static (G * E_i)
+            edge_feats = jnp.concatenate([ef_int_raw, ef_bnd_raw], axis=1)
+        else:
+            edge_feats = core_cls.edge_features(
+                all_feats, all_coords, pg["senders_flat"],
+                pg["receivers_flat"],
+            )
         nf, ef = apply("graph_encode", node_feats, edge_feats)
 
         B = nf.shape[0]
         latent = nf.shape[-1]
         # static sizes derived from array SHAPES (the int entries in pg
         # become traced values when pg is a jit argument)
-        g_shards, ns = pg["table"].shape[1], pg["table"].shape[2]
+        tbl = pg["t_int"] if overlap else pg["table"]
+        g_shards, ns = tbl.shape[1], tbl.shape[2]
         n_pad = g_shards * ns
         nf_pad = jnp.pad(nf, ((0, 0), (0, n_pad - nf.shape[1]), (0, 0)))
-        ef_sh = ef.reshape(B, g_shards, -1, latent)
+        if overlap:
+            ef_int = ef[:, :n_int].reshape(B, g_shards, -1, latent)
+            ef_bnd = ef[:, n_int:].reshape(B, g_shards, -1, latent)
+        else:
+            ef_sh = ef.reshape(B, g_shards, -1, latent)
 
         inet = InteractionNetwork(
             node_out=latent, edge_out=latent,
@@ -145,7 +222,21 @@ class PartitionedGraphMixin:
             for i in range(core.num_message_passing_steps)
         ]
 
-        if "halo_idx" in pg:
+        if overlap:
+            def iapply_o(params_i, *a):
+                return interaction_step_halo_overlap(inet, params_i, *a)
+
+            runner = make_partitioned_processor_halo_overlap(
+                iapply_o, core.num_message_passing_steps, mesh,
+                batched_halo=True,
+            )
+            nf_out, _ = runner(
+                step_params, nf_pad, ef_int, ef_bnd,
+                pg["remap_int"], pg["recv_int"], pg["mask_int"], pg["t_int"],
+                pg["remap_bnd"], pg["recv_bnd"], pg["mask_bnd"], pg["t_bnd"],
+                pg["degree"], pg["halo_idx"],
+            )
+        elif "halo_idx" in pg:
             def iapply_h(params_i, x_local, x_ext, e, remap, recv_loc, mask,
                          table):
                 return interaction_step_halo(

@@ -230,6 +230,7 @@ def partition_graph_halo(
     n_shards: int,
     e_shard: int | None = None,
     k_max: int | None = None,
+    h_pad: int | None = None,
 ) -> HaloGraph:
     base = partition_graph(senders, receivers, n_node, n_shards, e_shard, k_max)
     g = n_shards
@@ -237,7 +238,7 @@ def partition_graph_halo(
 
     # per (src, dst) unique sender nodes living in src needed by dst's edges
     need: list[list[np.ndarray]] = [[None] * g for _ in range(g)]
-    h_pad = 1
+    h_req = 1
     for dst in range(g):
         s_dst = base.senders[dst][base.edge_mask[dst] > 0]
         for src in range(g):
@@ -247,8 +248,11 @@ def partition_graph_halo(
             sel = s_dst[(s_dst // ns) == src]
             uniq = np.unique(sel)
             need[src][dst] = uniq
-            h_pad = max(h_pad, len(uniq))
-    h_pad = ((h_pad + 7) // 8) * 8
+            h_req = max(h_req, len(uniq))
+    h_req = ((h_req + 7) // 8) * 8
+    if h_pad is None:
+        h_pad = h_req
+    assert h_req <= h_pad, f"h_pad={h_pad} < required {h_req}"
 
     halo_idx = np.zeros((g, g, h_pad), np.int32)
     # per dst: global node id -> extended-space index (vectorized mapping)
@@ -296,6 +300,245 @@ def interaction_step_halo(module, params, x_local, x_ext, e, senders_remap,
     upd_in = jnp.concatenate([agg, x_local], axis=-1)
     upd = module.apply(params, upd_in, method="node_mlp")
     return x_local + upd, e + e
+
+
+# --------------------------------------------------------------------------
+# Overlap variant: edges are repacked [interior | boundary] with a STATIC
+# split; interior messages depend only on local rows, so XLA's latency-
+# hiding scheduler can overlap the halo all_to_all with interior edge-MLP
+# compute (the collective is issued before the interior matmuls and only
+# the boundary chunk waits on it).
+
+
+@dataclasses.dataclass
+class HaloOverlapGraph(HaloGraph):
+    """HaloGraph with the edge buffer repacked [interior | boundary].
+
+    e_int:  static split — edges [0, e_int) have local senders
+            (senders_remap < ns), edges [e_int, E) reference halo rows.
+    t_int:  (G, ns, K_i) int32 — ids into the interior region (pad e_int).
+    t_bnd:  (G, ns, K_b) int32 — ids into the boundary region, 0-based
+            within it (pad E - e_int).
+    degree: (G, ns, 1) float32 — TOTAL in-degree over both regions.
+    """
+
+    e_int: int = 0
+    t_int: np.ndarray | None = None
+    t_bnd: np.ndarray | None = None
+    degree: np.ndarray | None = None
+
+
+def _region_table(recv_loc, ns, e_pad, k_max=None):
+    """Receiver table for one shard region: local receiver ids (E,) ->
+    (ns, K) ids; padded slots = e_pad."""
+    e = len(recv_loc)
+    k_req = int(np.bincount(recv_loc, minlength=ns).max()) if e else 0
+    if k_max is None:
+        k_max = max(k_req, 1)
+    assert k_req <= k_max
+    tbl = np.full((ns, k_max), e_pad, np.int32)
+    if e:
+        order = np.argsort(recv_loc, kind="stable")
+        rs = recv_loc[order]
+        starts = np.zeros(ns + 1, np.int64)
+        np.cumsum(np.bincount(rs, minlength=ns), out=starts[1:])
+        slot = np.arange(e) - starts[rs]
+        tbl[rs, slot] = order
+    return tbl, k_req
+
+
+def partition_graph_halo_overlap(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    n_node: int,
+    n_shards: int,
+    e_int: int | None = None,
+    e_bnd: int | None = None,
+    k_int: int | None = None,
+    k_bnd: int | None = None,
+    h_pad: int | None = None,
+) -> HaloOverlapGraph:
+    hg = partition_graph_halo(senders, receivers, n_node, n_shards,
+                              h_pad=h_pad)
+    g = n_shards
+    ns = hg.n_node_pad // g
+
+    sel_int, sel_bnd = [], []
+    for d in range(g):
+        m = hg.edge_mask[d] > 0
+        rem = hg.senders_remap[d]
+        sel_int.append(np.nonzero(m & (rem < ns))[0])
+        sel_bnd.append(np.nonzero(m & (rem >= ns))[0])
+    if e_int is None:
+        e_int = max(8, max(len(s) for s in sel_int))
+        e_int = ((e_int + 7) // 8) * 8
+    if e_bnd is None:
+        e_bnd = max(8, max(len(s) for s in sel_bnd))
+        e_bnd = ((e_bnd + 7) // 8) * 8
+    assert max(len(s) for s in sel_int) <= e_int
+    assert max(len(s) for s in sel_bnd) <= e_bnd
+    e_tot = e_int + e_bnd
+
+    S = np.zeros((g, e_tot), np.int32)        # global sender (edge feats)
+    R = np.zeros((g, e_tot), np.int32)        # local receiver
+    M = np.zeros((g, e_tot), np.float32)
+    REM = np.zeros((g, e_tot), np.int32)      # remapped sender index
+    TI = np.zeros((g, ns, 1), np.int32)
+    TB = np.zeros((g, ns, 1), np.int32)
+    ti_list, tb_list = [], []
+    ki_req = kb_req = 1
+    for d in range(g):
+        si, sb = sel_int[d], sel_bnd[d]
+        ni, nb = len(si), len(sb)
+        S[d, :ni] = hg.senders[d, si]
+        R[d, :ni] = hg.receivers_loc[d, si]
+        M[d, :ni] = 1.0
+        REM[d, :ni] = hg.senders_remap[d, si]
+        S[d, e_int : e_int + nb] = hg.senders[d, sb]
+        R[d, e_int : e_int + nb] = hg.receivers_loc[d, sb]
+        M[d, e_int : e_int + nb] = 1.0
+        REM[d, e_int : e_int + nb] = hg.senders_remap[d, sb] - ns
+        ti, ki = _region_table(hg.receivers_loc[d, si], ns, e_int, None)
+        tb, kb = _region_table(hg.receivers_loc[d, sb], ns, e_bnd, None)
+        ti_list.append(ti)
+        tb_list.append(tb)
+        ki_req = max(ki_req, ki)
+        kb_req = max(kb_req, kb)
+    if k_int is None:
+        k_int = ki_req
+    if k_bnd is None:
+        k_bnd = kb_req
+    assert ki_req <= k_int and kb_req <= k_bnd
+    TI = np.stack([
+        np.pad(t, ((0, 0), (0, k_int - t.shape[1])), constant_values=e_int)
+        for t in ti_list
+    ])
+    TB = np.stack([
+        np.pad(t, ((0, 0), (0, k_bnd - t.shape[1])), constant_values=e_bnd)
+        for t in tb_list
+    ])
+    deg = np.zeros((g, ns, 1), np.float32)
+    for d in range(g):
+        real = M[d] > 0
+        deg[d, :, 0] = np.bincount(R[d][real], minlength=ns)
+
+    return HaloOverlapGraph(
+        senders=S,
+        receivers_loc=R,
+        edge_mask=M,
+        recv_edge_ids=hg.recv_edge_ids,
+        n_node_pad=hg.n_node_pad,
+        n_node=hg.n_node,
+        halo_idx=hg.halo_idx,
+        senders_remap=REM,
+        e_int=int(e_int),
+        t_int=TI,
+        t_bnd=TB,
+        degree=deg,
+    )
+
+
+def interaction_step_halo_overlap(module, params, x_local, halo_rows,
+                                  e_int, e_bnd, remap_int, recv_int,
+                                  mask_int, t_int, remap_bnd, recv_bnd,
+                                  mask_bnd, t_bnd, degree):
+    """InteractionNetwork step on one shard with the [interior | boundary]
+    edge split.  ``halo_rows`` (G*H_pad, C) are the received halo rows
+    only; interior senders index ``x_local`` directly, so all interior
+    compute is independent of the exchange.
+    """
+    from magnet_tpu.ops.segment import aggregate_sum
+
+    x_i_int = jnp.take(x_local, recv_int, axis=0)
+    x_j_int = jnp.take(x_local, remap_int, axis=0)
+    msg_int = module.apply(
+        params, jnp.concatenate([x_i_int, x_j_int, e_int], axis=-1),
+        method="edge_mlp",
+    )
+    sum_int = aggregate_sum(msg_int, t_int, mask_int)
+
+    x_i_bnd = jnp.take(x_local, recv_bnd, axis=0)
+    x_j_bnd = jnp.take(halo_rows, remap_bnd, axis=0)
+    msg_bnd = module.apply(
+        params, jnp.concatenate([x_i_bnd, x_j_bnd, e_bnd], axis=-1),
+        method="edge_mlp",
+    )
+    sum_bnd = aggregate_sum(msg_bnd, t_bnd, mask_bnd)
+
+    agg = (sum_int + sum_bnd) / jnp.maximum(degree, 1.0)
+    upd_in = jnp.concatenate([agg, x_local], axis=-1)
+    upd = module.apply(params, upd_in, method="node_mlp")
+    return x_local + upd, e_int + e_int, e_bnd + e_bnd
+
+
+def make_partitioned_processor_halo_overlap(
+    interaction_apply, num_steps: int, mesh: Mesh,
+    batched_halo: bool = False,
+):
+    """Halo processor with the interior/boundary split: the all_to_all is
+    issued first each step and only the boundary message chunk consumes its
+    result, letting XLA overlap the collective with interior edge MLPs.
+
+    interaction_apply: fn(params_i, x_local, halo_rows, e_int, e_bnd,
+    remap_int, recv_int, mask_int, t_int, remap_bnd, recv_bnd, mask_bnd,
+    t_bnd, degree) for ONE shard of ONE sample.
+
+    Returned fn: (params_list, x (B, N_pad, C), e_int (B, G, E_i, C),
+    e_bnd (B, G, E_b, C), <the per-region index arrays (B, G, ...)>,
+    degree (B, G, ns, 1), halo_idx) -> x sharded P('dp','graph').
+    """
+
+    def run(params_list, x, e_int, e_bnd, remap_int, recv_int, mask_int,
+            t_int, remap_bnd, recv_bnd, mask_bnd, t_bnd, degree, halo_idx):
+        def body(params_list, x, e_int, e_bnd, remap_int, recv_int,
+                 mask_int, t_int, remap_bnd, recv_bnd, mask_bnd, t_bnd,
+                 degree, halo_idx):
+            e_int = e_int[:, 0]
+            e_bnd = e_bnd[:, 0]
+            remap_int = remap_int[:, 0]
+            recv_int = recv_int[:, 0]
+            mask_int = mask_int[:, 0]
+            t_int = t_int[:, 0]
+            remap_bnd = remap_bnd[:, 0]
+            recv_bnd = recv_bnd[:, 0]
+            mask_bnd = mask_bnd[:, 0]
+            t_bnd = t_bnd[:, 0]
+            degree = degree[:, 0]
+            b = x.shape[0]
+            if batched_halo:
+                my_halo = halo_idx[:, 0]                       # (b, G, H_pad)
+            else:
+                my_halo = jnp.broadcast_to(
+                    halo_idx[0][None], (b,) + halo_idx[0].shape
+                )
+            g, h_pad = my_halo.shape[1:]
+
+            for step in range(num_steps):
+                send = jax.vmap(
+                    lambda xx, hh: jnp.take(xx, hh.reshape(-1), axis=0)
+                )(x, my_halo).reshape(b, g, h_pad, x.shape[-1])
+                recv = jax.lax.all_to_all(
+                    send, "graph", split_axis=1, concat_axis=1, tiled=False
+                )
+                halo_rows = recv.reshape(b, -1, x.shape[-1])
+                x, e_int, e_bnd = jax.vmap(
+                    partial(interaction_apply, params_list[step])
+                )(x, halo_rows, e_int, e_bnd, remap_int, recv_int,
+                  mask_int, t_int, remap_bnd, recv_bnd, mask_bnd, t_bnd,
+                  degree)
+            return x, e_int[:, None]
+
+        halo_spec = P("dp", "graph") if batched_halo else P("graph")
+        sharded = P("dp", "graph")
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(),) + (sharded,) * 12 + (halo_spec,),
+            out_specs=(sharded, sharded),
+        )(params_list, x, e_int, e_bnd, remap_int, recv_int, mask_int,
+          t_int, remap_bnd, recv_bnd, mask_bnd, t_bnd, degree, halo_idx)
+
+    return run
 
 
 def make_partitioned_processor_halo(interaction_apply, num_steps: int,

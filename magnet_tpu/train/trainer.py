@@ -64,6 +64,7 @@ class Trainer:
         seed: int = 42,
         mesh: Optional[jax.sharding.Mesh] = None,
         graph_shards: int = 1,
+        graph_halo=False,
         log_every: int = 10,
         check_val_every: int = 1,
     ):
@@ -77,6 +78,9 @@ class Trainer:
         self.seed = seed
         self.mesh = mesh
         self.graph_shards = graph_shards
+        # False = all-gather; True = halo all_to_all; "overlap" = halo with
+        # the interior/boundary edge split (collective/compute overlap)
+        self.graph_halo = graph_halo
         if graph_shards > 1:
             assert mesh is not None and "graph" in mesh.axis_names, (
                 "graph_shards > 1 needs a mesh with a 'graph' axis"
@@ -138,7 +142,9 @@ class Trainer:
 
     def _build_graph(self, batch):
         if self.graph_shards > 1:
-            return self.model.build_graph_partitioned(batch, self.graph_shards)
+            return self.model.build_graph_partitioned(
+                batch, self.graph_shards, halo=self.graph_halo
+            )
         return self.model.build_graph(batch)
 
     def _put(self, batch, graph):
@@ -152,15 +158,19 @@ class Trainer:
                     eg = NamedSharding(self.mesh, P("dp", "graph"))
                     g = dict(graph)
                     for k in ("senders", "recv_loc", "mask", "table",
-                              "senders_remap", "halo_idx"):
+                              "senders_remap", "halo_idx",
+                              "remap_int", "recv_int", "mask_int", "t_int",
+                              "remap_bnd", "recv_bnd", "mask_bnd", "t_bnd",
+                              "degree"):
                         if k in g:
                             g[k] = jax.device_put(jnp.asarray(g[k]), eg)
-                    g["senders_flat"] = jax.device_put(
-                        jnp.asarray(g["senders_flat"]), self._data_sharding
-                    )
-                    g["receivers_flat"] = jax.device_put(
-                        jnp.asarray(g["receivers_flat"]), self._data_sharding
-                    )
+                    for k in ("senders_flat", "receivers_flat",
+                              "senders_flat_int", "receivers_flat_int",
+                              "senders_flat_bnd", "receivers_flat_bnd"):
+                        if k in g:
+                            g[k] = jax.device_put(
+                                jnp.asarray(g[k]), self._data_sharding
+                            )
                     graph = g
                 else:
                     graph = _to_device(graph, self._data_sharding)

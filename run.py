@@ -75,6 +75,7 @@ def main(argv=None):
         seed=int(cfg.seed),
         mesh=mesh,
         graph_shards=graph_shards,
+        graph_halo=cfg.trainer.get("graph_halo", False),
         log_every=int(cfg.trainer.get("log_every", 10)),
         check_val_every=int(cfg.trainer.get("check_val_every", 1)),
     )

@@ -324,3 +324,58 @@ def test_flagship_2d_graph_parallel_matches_standard():
         lambda p, b: m.loss_partitioned(p, b, pg, mesh, train=True)
     )(params, batch_sh)
     np.testing.assert_allclose(float(loss_p), float(ref_loss), rtol=2e-4)
+
+
+def test_flagship_halo_overlap_matches_standard():
+    """Flagship graph-parallel path with the OVERLAP halo variant
+    (interior/boundary edge split, all_to_all overlapped with interior
+    compute) == standard path, loss and grads."""
+    from magnet_tpu.models.factory import create_model
+
+    rng = np.random.default_rng(11)
+    B, nt, L, N = 2, 48, 32, 16
+    batch = {
+        "t": jnp.asarray(np.linspace(0, 1, nt, dtype=np.float32)[None].repeat(B, 0)),
+        "lr_frames": jnp.asarray(rng.normal(size=(B, nt, 1, L)).astype(np.float32)),
+        "hr_points": jnp.asarray(rng.normal(size=(B, nt, N, 1)).astype(np.float32)),
+        "coords": jnp.asarray(
+            np.sort(rng.uniform(-1, 1, (B, N, 1)).astype(np.float32), axis=1)
+        ),
+        "cells": jnp.asarray(np.full((B, N, 1), 2.0 / (2 * L), np.float32)),
+    }
+    m = create_model(
+        "magnet_cnn",
+        dict(time_slice=16, latent_dim=8, num_message_passing_steps=2,
+             mlp_layers=2, mlp_hidden=16, n_chan=16, res_layers=1,
+             radius=0.3, teacher_forcing=True, loss="l1"),
+    )
+    g = m.build_graph(batch)
+    params = m.init(jax.random.PRNGKey(0), batch, g)
+    ref_loss, _ = m.loss(params, batch, g, train=True)
+
+    mesh = make_mesh(dp=2, graph=4)
+    pg = m.build_graph_partitioned(batch, n_shards=4, halo="overlap")
+    bs = NamedSharding(mesh, P("dp"))
+    batch_sh = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    eg = NamedSharding(mesh, P("dp", "graph"))
+    for k in ("remap_int", "recv_int", "mask_int", "t_int",
+              "remap_bnd", "recv_bnd", "mask_bnd", "t_bnd",
+              "degree", "halo_idx"):
+        pg[k] = jax.device_put(pg[k], eg)
+    for k in ("senders_flat_int", "receivers_flat_int",
+              "senders_flat_bnd", "receivers_flat_bnd"):
+        pg[k] = jax.device_put(pg[k], bs)
+
+    loss_o, _ = jax.jit(
+        lambda p, b: m.loss_partitioned(p, b, pg, mesh, train=True)
+    )(params, batch_sh)
+    np.testing.assert_allclose(float(loss_o), float(ref_loss), rtol=2e-4)
+
+    gref = jax.grad(lambda p: m.loss(p, batch, g, train=True)[0])(params)
+    gpar = jax.jit(
+        jax.grad(lambda p: m.loss_partitioned(p, batch_sh, pg, mesh,
+                                              train=True)[0])
+    )(params)
+    ref_n = float(sum(jnp.sum(x**2) for x in jax.tree.leaves(gref)) ** 0.5)
+    par_n = float(sum(jnp.sum(x**2) for x in jax.tree.leaves(gpar)) ** 0.5)
+    np.testing.assert_allclose(par_n, ref_n, rtol=5e-3)
