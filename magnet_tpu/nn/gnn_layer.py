@@ -51,17 +51,43 @@ class MPNNLayer(fnn.Module):
         p_v = dense("msg1_var", use_bias=True)(variables)
         recv_side = p_xi + p_u + p_p + p_v                   # gathered at i
         send_side = p_xj - p_u - p_p                         # gathered at j
-        msg = swish(
-            gather_nodes(recv_side, gs, "receiver")
-            + gather_nodes(send_side, gs, "sender")
-        )
-        msg = swish(Linear(self.hidden_features)(msg))
 
-        agg = aggregate_mean_graph(msg, gs)
+        # message_net_2 as raw params (torch nn.Linear default init) so the
+        # fused Pallas edge kernel can consume them directly
+        hdim = self.hidden_features
+        w2init = torch_kernel_init_fan(hdim)
+        msg2_w = self.param("msg2_w", w2init, (hdim, hdim))
+        msg2_b = self.param("msg2_b", w2init, (hdim,))
+
+        import os
+
+        if (gs.blk_recv_local is not None
+                and not os.environ.get("MAGNET_TPU_NO_FUSED")):
+            from magnet_tpu.ops.pallas_kernels import fused_mpnn_edge_agg
+
+            h0 = gather_nodes(send_side, gs, "sender")       # (E, H)
+            t, et = gs.blk_recv_local.shape
+            n_pad = t * 128
+            n = x.shape[0]
+            pr = jnp.pad(recv_side, ((0, n_pad - n), (0, 0)))
+            sums = fused_mpnn_edge_agg(
+                h0.reshape(t, et, hdim), pr.reshape(t, 128, hdim),
+                msg2_w, msg2_b,
+                gs.blk_recv_local, gs.edge_mask.reshape(t, et),
+            )
+            agg = sums.reshape(n_pad, hdim)[:n] / jnp.maximum(gs.degree, 1.0)
+            agg = agg.astype(x.dtype)
+        else:
+            msg = swish(
+                gather_nodes(recv_side, gs, "receiver")
+                + gather_nodes(send_side, gs, "sender")
+            )
+            msg = swish(msg @ msg2_w + msg2_b)
+            agg = aggregate_mean_graph(msg, gs)
 
         upd = jnp.concatenate([x, agg, variables], axis=-1)
-        upd = swish(Linear(self.hidden_features)(upd))
-        upd = swish(Linear(self.out_features)(upd))
+        upd = swish(Linear(self.hidden_features, name="upd1")(upd))
+        upd = swish(Linear(self.out_features, name="upd2")(upd))
 
         out = x + upd if x.shape[-1] == self.out_features else upd
         return segment_instance_norm(out)

@@ -544,3 +544,237 @@ def _fused_bwd(res, g):
 
 
 fused_edge_tail_agg.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused MPNN edge tail: the Brandstetter GNN_Layer message path (reference
+# models/mpnn.py:51-77) is msg = swish(Linear(swish(recv_side[i] +
+# send_side[j]))) followed by a masked mean.  Same blocking as
+# fused_edge_tail_agg, but with swish activations and no out-layer/LN.
+# ---------------------------------------------------------------------------
+
+
+def _swish(z):
+    return z * jax.nn.sigmoid(z)
+
+
+def _dswish(z):
+    s = jax.nn.sigmoid(z)
+    return s * (1.0 + z * (1.0 - s))
+
+
+def _mpnn_ref_impl(h0, precv, w, b, recv_local, mask):
+    """jnp reference.  h0 (T,E,H) pre-gathered sender side; precv
+    (T,tile_n,H) receiver side; returns (T,tile_n,H) masked sums of
+    swish((h0+precv[recv]) @ w + b) ... precisely:
+    h1 = swish(h0 + precv[recv]); h2 = swish(h1 @ w + b); sum h2 by recv."""
+    tile_n = precv.shape[1]
+    gath = jnp.take_along_axis(precv, recv_local[..., None], axis=1)
+    h1 = _swish(h0 + gath)
+    h2 = _swish(h1 @ w + b)
+    iota = jnp.arange(tile_n, dtype=recv_local.dtype)
+    onehot = (recv_local[:, None, :] == iota[None, :, None]).astype(h2.dtype)
+    onehot = onehot * mask[:, None, :].astype(h2.dtype)
+    return jnp.einsum("tne,tec->tnc", onehot, h2,
+                      preferred_element_type=jnp.float32)
+
+
+def _mpnn_fwd_pallas(h0, precv, w, b, recv_local, mask):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, E, H = h0.shape
+    tile_n = precv.shape[1]
+    chunk = _fused_e_chunk(E)
+    n_chunks = E // chunk
+    recv3 = recv_local.reshape(T, 1, E)
+    mask3 = mask.reshape(T, 1, E)
+    b2 = b.reshape(1, H)
+
+    def kernel(h0_ref, pr_ref, w_ref, b_ref, recv_ref, mask_ref, out_ref):
+        ec = pl.program_id(1)
+        recv = recv_ref[0, 0]
+        m = mask_ref[0, 0]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
+        oh_g = (cols == recv[:, None]).astype(jnp.float32)
+        gath = _dot(oh_g, pr_ref[0])
+        h1 = _swish(h0_ref[0] + gath)
+        h2 = _swish(_dot(h1, w_ref[:]) + b_ref[0][None, :])
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
+        oh_a = (rows == recv[None, :]).astype(jnp.float32) * m[None, :]
+        part = _dot(oh_a, h2)
+
+        @pl.when(ec == 0)
+        def _():
+            out_ref[0] = part
+
+        @pl.when(ec != 0)
+        def _():
+            out_ref[0] = out_ref[0] + part
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda t, ec: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(T, n_chunks),
+        interpret=bool(os.environ.get("MAGNET_TPU_PALLAS_INTERPRET")),
+        in_specs=[
+            pl.BlockSpec((1, chunk, H), lambda t, ec: (t, ec, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, H), lambda t, ec: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(H, H),
+            full(1, H),
+            pl.BlockSpec((1, 1, chunk), lambda t, ec: (t, 0, ec),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda t, ec: (t, 0, ec),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, H), lambda t, ec: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, tile_n, H), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * E * (2 * tile_n * H + H * H),
+            bytes_accessed=4 * (T * E * H + 2 * T * tile_n * H),
+            transcendentals=2 * T * E * H,
+        ),
+    )(h0, precv, w, b2, recv3, mask3)
+
+
+def _mpnn_bwd_pallas(h0, precv, w, b, recv_local, mask, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, E, H = h0.shape
+    tile_n = precv.shape[1]
+    chunk = _fused_e_chunk(E)
+    n_chunks = E // chunk
+    recv3 = recv_local.reshape(T, 1, E)
+    mask3 = mask.reshape(T, 1, E)
+    b2 = b.reshape(1, H)
+
+    def kernel(h0_ref, pr_ref, w_ref, b_ref, recv_ref, mask_ref, g_ref,
+               dh0_ref, dpr_ref, dw_ref, db_ref):
+        t = pl.program_id(0)
+        ec = pl.program_id(1)
+        recv = recv_ref[0, 0]
+        m = mask_ref[0, 0]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
+        oh_g = (cols == recv[:, None]).astype(jnp.float32)
+        gath = _dot(oh_g, pr_ref[0])
+        z1 = h0_ref[0] + gath
+        h1 = _swish(z1)
+        z2 = _dot(h1, w_ref[:]) + b_ref[0][None, :]
+
+        d_h2 = _dot(oh_g, g_ref[0]) * m[:, None]
+        d_z2 = d_h2 * _dswish(z2)
+        dw = _dot_t(h1, d_z2)
+        db = jnp.sum(d_z2, axis=0, keepdims=True)
+        d_h1 = jax.lax.dot_general(
+            d_z2, w_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d_z1 = d_h1 * _dswish(z1)
+        dh0_ref[0] = d_z1
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
+        oh_a = (rows == recv[None, :]).astype(jnp.float32)
+        dpr_part = _dot(oh_a, d_z1)
+
+        first = jnp.logical_and(t == 0, ec == 0)
+
+        @pl.when(ec == 0)
+        def _():
+            dpr_ref[0] = dpr_part
+
+        @pl.when(ec != 0)
+        def _():
+            dpr_ref[0] = dpr_ref[0] + dpr_part
+
+        @pl.when(first)
+        def _():
+            dw_ref[...] = dw
+            db_ref[...] = db
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dw_ref[...] = dw_ref[...] + dw
+            db_ref[...] = db_ref[...] + db
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda t, ec: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    dh0, dpr, dw, db = pl.pallas_call(
+        kernel,
+        grid=(T, n_chunks),
+        interpret=bool(os.environ.get("MAGNET_TPU_PALLAS_INTERPRET")),
+        in_specs=[
+            pl.BlockSpec((1, chunk, H), lambda t, ec: (t, ec, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, H), lambda t, ec: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(H, H),
+            full(1, H),
+            pl.BlockSpec((1, 1, chunk), lambda t, ec: (t, 0, ec),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda t, ec: (t, 0, ec),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, H), lambda t, ec: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, chunk, H), lambda t, ec: (t, ec, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, H), lambda t, ec: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(H, H),
+            full(1, H),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, E, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, tile_n, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * E * (2 * tile_n * H + 2 * H * H),
+            bytes_accessed=4 * (2 * T * E * H + 3 * T * tile_n * H),
+            transcendentals=4 * T * E * H,
+        ),
+    )(h0, precv, w, b2, recv3, mask3, g)
+    return dh0, dpr, dw, db.reshape(H)
+
+
+def _mpnn_impl(h0, precv, w, b, recv_local, mask):
+    if _use_pallas():
+        return _mpnn_fwd_pallas(h0, precv, w, b, recv_local, mask)
+    return _mpnn_ref_impl(h0, precv, w, b, recv_local, mask)
+
+
+@jax.custom_vjp
+def fused_mpnn_edge_agg(h0, precv, w, b, recv_local, mask):
+    """Fused [receiver gather + swish + Linear + swish + masked segment
+    sum] for the MPNN message path.  Shapes as fused_edge_tail_agg with
+    out width == H; returns (T, tile_n, H) float32 masked sums."""
+    return _mpnn_impl(h0, precv, w, b, recv_local, mask)
+
+
+def _mpnn_fwd(h0, precv, w, b, recv_local, mask):
+    return _mpnn_impl(h0, precv, w, b, recv_local, mask), (
+        h0, precv, w, b, recv_local, mask)
+
+
+def _mpnn_bwd(res, g):
+    h0, precv, w, b, recv_local, mask = res
+    if _use_pallas():
+        dh0, dpr, dw, db = _mpnn_bwd_pallas(h0, precv, w, b, recv_local,
+                                            mask, g)
+    else:
+        def f(h0_, pr_, w_, b_):
+            return _mpnn_ref_impl(h0_, pr_, w_, b_, recv_local, mask)
+
+        _, vjp = jax.vjp(f, h0, precv, w, b)
+        dh0, dpr, dw, db = vjp(g)
+    return (dh0.astype(h0.dtype), dpr.astype(precv.dtype), dw, db, None,
+            None)
+
+
+fused_mpnn_edge_agg.defvjp(_mpnn_fwd, _mpnn_bwd)

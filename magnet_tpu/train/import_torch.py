@@ -201,9 +201,11 @@ def import_mpnn(sd: Mapping[str, np.ndarray], hp: Mapping[str, Any],
             chunks[name] = {"kernel": np.ascontiguousarray(w[:, o : o + width].T)}
             o += width
         chunks["msg1_var"]["bias"] = np.ascontiguousarray(b)
-        chunks["Linear_0"] = {"Dense_0": _lin(sd, f"gnn_layers.{i}.message_net_2.0")}
-        chunks["Linear_1"] = {"Dense_0": _lin(sd, f"gnn_layers.{i}.update_net_1.0")}
-        chunks["Linear_2"] = {"Dense_0": _lin(sd, f"gnn_layers.{i}.update_net_2.0")}
+        m2 = _lin(sd, f"gnn_layers.{i}.message_net_2.0")
+        chunks["msg2_w"] = m2["kernel"]
+        chunks["msg2_b"] = m2["bias"]
+        chunks["upd1"] = {"Dense_0": _lin(sd, f"gnn_layers.{i}.update_net_1.0")}
+        chunks["upd2"] = {"Dense_0": _lin(sd, f"gnn_layers.{i}.update_net_2.0")}
         return chunks
 
     p["gnn_layers"] = {

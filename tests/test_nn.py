@@ -253,3 +253,49 @@ def test_interaction_network_fused_matches_unfused():
     for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gu)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
                                    atol=1e-5)
+
+
+def test_mpnn_layer_fused_matches_unfused():
+    """MPNNLayer fused message path == legacy path, values and grads."""
+    from magnet_tpu.models.common import Graph
+    from magnet_tpu.nn.gnn_layer import MPNNLayer
+    from magnet_tpu.ops.graph import block_graph, radius_graph_np
+
+    rng = np.random.default_rng(9)
+    n, h, tw = 60, 16, 8
+    pos = rng.uniform(0, 1, (n, 1))
+    s, t = radius_graph_np(pos, 0.15, loop=False)
+    bg = block_graph(s, t, n)
+    gs = Graph(
+        senders=jnp.asarray(bg.senders.reshape(-1)),
+        receivers=jnp.asarray(bg.receivers),
+        edge_mask=jnp.asarray(bg.mask.reshape(-1)),
+        blk_recv_local=jnp.asarray(bg.recv_local),
+        degree=jnp.asarray(bg.degree),
+        blk_snd_edge_ids=(jnp.asarray(bg.snd_edge_ids)
+                          if bg.snd_edge_ids is not None else None),
+        blk_snd_local=(jnp.asarray(bg.snd_local)
+                       if bg.snd_local is not None else None),
+    )
+    x = jnp.asarray(rng.normal(size=(n, h)).astype(np.float32))
+    u = jnp.asarray(rng.normal(size=(n, tw)).astype(np.float32))
+    posj = jnp.asarray(pos.astype(np.float32))
+    varis = jnp.asarray(rng.normal(size=(n, 1)).astype(np.float32))
+    mod = MPNNLayer(hidden_features=h, out_features=h)
+    params = mod.init(jax.random.PRNGKey(0), x, u, posj, varis, gs)
+
+    def loss(p, x_):
+        return jnp.sum(mod.apply(p, x_, u, posj, varis, gs) ** 2)
+
+    import os
+
+    vf, gf = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+    os.environ["MAGNET_TPU_NO_FUSED"] = "1"
+    try:
+        vu, gu = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+    finally:
+        del os.environ["MAGNET_TPU_NO_FUSED"]
+    np.testing.assert_allclose(float(vf), float(vu), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gu)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=1e-5)

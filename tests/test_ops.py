@@ -342,3 +342,35 @@ def test_fused_edge_tail_grads_interpret(monkeypatch):
     for name, w, h in zip(order, want, got):
         np.testing.assert_allclose(np.asarray(h), np.asarray(w), rtol=1e-3,
                                    atol=1e-4, err_msg=name)
+
+
+def test_fused_mpnn_edge_agg_interpret(monkeypatch):
+    """Fused MPNN message kernel (swish/Linear/swish/agg) fwd + bwd
+    (interpret mode) vs the jnp reference."""
+    from magnet_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(23)
+    T, E, H = 2, 384, 64
+    h0 = jnp.asarray(rng.normal(size=(T, E, H)).astype(np.float32))
+    pr = jnp.asarray(rng.normal(size=(T, 128, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(H, H)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.2)
+    recv = jnp.asarray(rng.integers(0, 128, size=(T, E)).astype(np.int32))
+    mask = jnp.asarray((rng.uniform(size=(T, E)) > 0.2).astype(np.float32))
+
+    ref = pk._mpnn_ref_impl(h0, pr, w, b, recv, mask)
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    out = pk._mpnn_fwd_pallas(h0, pr, w, b, recv, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+    g = jnp.asarray(rng.normal(size=ref.shape).astype(np.float32))
+
+    def ref_loss(h0_, pr_, w_, b_):
+        return jnp.sum(pk._mpnn_ref_impl(h0_, pr_, w_, b_, recv, mask) * g)
+
+    want = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(h0, pr, w, b)
+    got = pk._mpnn_bwd_pallas(h0, pr, w, b, recv, mask, g)
+    for name, wv, hv in zip(("h0", "pr", "w", "b"), want, got):
+        np.testing.assert_allclose(np.asarray(hv), np.asarray(wv), rtol=1e-3,
+                                   atol=1e-4, err_msg=name)
