@@ -156,13 +156,17 @@ def generate_2d_file(
     nu=0.02,
     irregular=False,
     n_nodes=None,
+    concentrated=False,
 ):
     """Write a 2D HDF5 file in the reference schema.
 
     regular: keys x, y (per-dim coords) + dx/dy/dt (for the FNO reader).
     irregular: additionally subsamples ``n_nodes`` random grid points and
     stores their coords under 'coords' with pde shaped (n, nt, n_nodes)
-    (reference dataset_2d.py:50,99-100).
+    (reference dataset_2d.py:50,99-100). ``concentrated`` biases the node
+    sampling toward a random focus point (stand-in for the reference's
+    'concentrated' irregular meshes, scripts/mpnn_2d/
+    mpnn_2d_b1_64_irregular_concentrated.sh) instead of uniform.
     """
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -176,8 +180,15 @@ def generate_2d_file(
                 )
                 if irregular:
                     nn = n_nodes or (res * res // 2)
-                    sel = np.sort(rng.choice(res * res, nn, replace=False))
                     grid = np.stack(np.meshgrid(x, y, indexing="ij"), -1).reshape(-1, 2)
+                    if concentrated:
+                        focus = grid[rng.integers(res * res)]
+                        d2 = ((grid - focus) ** 2).sum(-1)
+                        w = np.exp(-d2 / (2 * 0.15**2))
+                        p = w / w.sum()
+                        sel = np.sort(rng.choice(res * res, nn, replace=False, p=p))
+                    else:
+                        sel = np.sort(rng.choice(res * res, nn, replace=False))
                     coords_l.append(grid[sel])
                     us.append(u.reshape(nt, -1)[:, sel])
                 else:

@@ -7,11 +7,25 @@ python - <<'PY'
 from magnet_tpu.data.synthetic import generate_1d_file, generate_2d_file
 import os
 os.makedirs('data/B1/uniform', exist_ok=True)
+os.makedirs('data/B1/concentrated', exist_ok=True)
+os.makedirs('data/B2', exist_ok=True)
 generate_1d_file('data/CE_train_E3.h5', n_train=64, n_valid=16, n_test=16, nt=250, nx=50, seed=0)
 generate_1d_file('data/KS_train.h5', n_train=64, n_valid=16, n_test=16, nt=128, nx=256, seed=1)
 generate_2d_file('data/B1/burgers_train_B1_64.h5', n_train=32, n_valid=8, n_test=8, nt=50, res=64, seed=2)
 generate_2d_file('data/B1/burgers_test_B1_32.h5', n_train=8, n_valid=8, n_test=8, nt=50, res=32, seed=3)
-generate_2d_file('data/B1/uniform/burgers_train_irregular_B1_128.h5', n_train=32, n_valid=8, n_test=8, nt=50, res=64, seed=4, irregular=True, n_nodes=128)
+generate_2d_file('data/B1/burgers_test_B1_64.h5', n_train=8, n_valid=8, n_test=8, nt=50, res=64, seed=5)
+# B2 = second Burgers dataset (different forcing regime -> higher viscosity here)
+generate_2d_file('data/B2/burgers_train_B2_64.h5', n_train=32, n_valid=8, n_test=8, nt=50, res=64, seed=6, nu=0.05)
+generate_2d_file('data/B2/burgers_test_B2_64.h5', n_train=8, n_valid=8, n_test=8, nt=50, res=64, seed=7, nu=0.05)
+# irregular meshes, uniform and concentrated node sampling, all script sizes
+for i, n_nodes in enumerate([64, 128, 256, 512]):
+    generate_2d_file(f'data/B1/uniform/burgers_train_irregular_B1_{n_nodes}.h5',
+                     n_train=32, n_valid=8, n_test=8, nt=50, res=64,
+                     seed=4 + 10 * i, irregular=True, n_nodes=n_nodes)
+    generate_2d_file(f'data/B1/concentrated/burgers_train_irregular_B1_{n_nodes}.h5',
+                     n_train=32, n_valid=8, n_test=8, nt=50, res=64,
+                     seed=5 + 10 * i, irregular=True, n_nodes=n_nodes,
+                     concentrated=True)
 # each generated file holds train/valid/test groups; mirror the
 # reference's separate-file layout by copying
 import shutil

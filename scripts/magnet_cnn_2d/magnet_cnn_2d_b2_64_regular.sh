@@ -1,11 +1,11 @@
 #!/bin/bash
-# reference: scripts/magnet_cnn_2d/magnet_cnn_2d_b1_64_regular.sh
-exec "$(dirname "$0")/../run_experiment.sh" magnet_cnn_2d_b1_64_regular \
+# reference: scripts/magnet_cnn_2d/magnet_cnn_2d_b2_64_regular.sh
+exec "$(dirname "$0")/../run_experiment.sh" magnet_cnn_2d_b2_64_regular \
   model=magnet_cnn_2d \
   datamodule=h5_datamodule_implicit_2d \
-  datamodule.train_path=data/B1/burgers_train_B1_64.h5 \
-  datamodule.val_path=data/B1/burgers_test_B1_64.h5 \
-  datamodule.test_path=data/B1/burgers_test_B1_64.h5 \
+  datamodule.train_path=data/B2/burgers_train_B2_64.h5 \
+  datamodule.val_path=data/B2/burgers_test_B2_64.h5 \
+  datamodule.test_path=data/B2/burgers_test_B2_64.h5 \
   datamodule.nt_train=50 datamodule.res_train=64 \
   datamodule.nt_val=50 datamodule.res_val=64 \
   datamodule.nt_test=50 datamodule.res_test=64 \

@@ -1,0 +1,14 @@
+#!/bin/bash
+# reference: scripts/magnet_gnn/magnet_gnn_2d_b1_256_irregular.sh
+exec "$(dirname "$0")/../run_experiment.sh" magnet_gnn_2d_b1_256_irregular \
+  model=magnet_gnn \
+  datamodule=h5_datamodule_implicit_gnn_2d \
+  datamodule.train_path=data/B1/uniform/burgers_train_irregular_B1_256.h5 \
+  datamodule.val_path=data/B1/burgers_test_B1_32.h5 \
+  datamodule.test_path=data/B1/burgers_test_B1_32.h5 \
+  datamodule.nt_train=50 datamodule.res_train=256 \
+  datamodule.nt_val=50 datamodule.res_val=32 \
+  datamodule.nt_test=50 datamodule.res_test=32 \
+  datamodule.batch_size=32 datamodule.samples=128 \
+  model.params.time_slice=10 \
+  trainer.max_epochs=250

@@ -1,9 +1,9 @@
 #!/bin/bash
-# reference: scripts/magnet_gnn/magnet_gnn_2d_b1_512_irregular_concentrated.sh
-exec "$(dirname "$0")/../run_experiment.sh" magnet_gnn_2d_b1_512_irregular_concentrated \
+# reference: scripts/magnet_gnn/magnet_gnn_2d_b1_512_irregular.sh
+exec "$(dirname "$0")/../run_experiment.sh" magnet_gnn_2d_b1_512_irregular \
   model=magnet_gnn \
   datamodule=h5_datamodule_implicit_gnn_2d \
-  datamodule.train_path=data/B1/concentrated/burgers_train_irregular_B1_512.h5 \
+  datamodule.train_path=data/B1/uniform/burgers_train_irregular_B1_512.h5 \
   datamodule.val_path=data/B1/burgers_test_B1_32.h5 \
   datamodule.test_path=data/B1/burgers_test_B1_32.h5 \
   datamodule.nt_train=50 datamodule.res_train=512 \
