@@ -67,6 +67,7 @@ class Trainer:
         graph_halo=False,
         log_every: int = 10,
         check_val_every: int = 1,
+        steps_per_call: int = 1,
     ):
         self.model = model
         self.max_epochs = max_epochs
@@ -90,6 +91,16 @@ class Trainer:
             )
         self.log_every = log_every
         self.check_val_every = check_val_every
+        # device-side multi-step loop: lax.scan over k stacked batches per
+        # jitted call amortizes per-step dispatch (+6.5% at bench shapes,
+        # benchmarks/variants.py scan10); graph-partitioned runs keep k=1
+        # (the per-key sharding layout in _put doesn't stack).
+        self.steps_per_call = max(1, int(steps_per_call))
+        if self.steps_per_call > 1 and graph_shards > 1:
+            log.warning(
+                "steps_per_call > 1 unsupported with graph_shards > 1; using 1"
+            )
+            self.steps_per_call = 1
         self.ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
         self.early = EarlyStopping(patience=patience)
         os.makedirs(workdir, exist_ok=True)
@@ -140,6 +151,39 @@ class Trainer:
         self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._val_step = jax.jit(val_step)
 
+        def _scan_body(carry, batch, graph, rng):
+            params, opt_state = carry
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: model.loss(p, batch, graph, rng=rng, train=True),
+                has_aux=True,
+            )(params)
+            updates, opt_state = self._tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
+
+        def train_scan(params, opt_state, batches, graphs, rngs):
+            """k steps per call: scan over stacked batches AND graphs."""
+            (params, opt_state), metrics = jax.lax.scan(
+                lambda c, xs: _scan_body(c, xs[0], xs[1], xs[2]),
+                (params, opt_state),
+                (batches, graphs, rngs),
+            )
+            return params, opt_state, metrics
+
+        def train_scan_shared(params, opt_state, batches, graph, rngs):
+            """k steps per call with one graph shared by every step (the
+            graph cache returns the same object for repeated coordinate
+            batches — regular grids — so don't stack k copies)."""
+            (params, opt_state), metrics = jax.lax.scan(
+                lambda c, xs: _scan_body(c, xs[0], graph, xs[1]),
+                (params, opt_state),
+                (batches, rngs),
+            )
+            return params, opt_state, metrics
+
+        self._train_scan = jax.jit(train_scan, donate_argnums=donate)
+        self._train_scan_shared = jax.jit(train_scan_shared, donate_argnums=donate)
+
     def _build_graph(self, batch):
         if self.graph_shards > 1:
             return self.model.build_graph_partitioned(
@@ -177,6 +221,79 @@ class Trainer:
         else:
             jb = _to_device(jb)
         return jb, graph
+
+    @staticmethod
+    def _sig(pair):
+        """Static-shape signature of a (batch, graph) pair — scan needs every
+        step in a chunk to share shapes/dtypes/tree structure."""
+        def leaves_sig(tree):
+            leaves, treedef = jax.tree.flatten(tree)
+            return treedef, tuple(
+                (np.shape(l), str(getattr(l, "dtype", type(l)))) for l in leaves
+            )
+
+        batch, graph = pair
+        return leaves_sig(dict(batch)), leaves_sig(graph)
+
+    def _put_stacked(self, batches, graphs):
+        """Stack k (batch, graph) pairs on a new leading axis and transfer.
+        Returns (stacked_batch, graph, shared): shared=True when every graph
+        is the same cached object (regular grids — the graph cache in
+        models/common.py returns one Graph per coordinate digest), in which
+        case the graph is passed unstacked."""
+        sb = jax.tree.map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]),
+            *[dict(b) for b in batches],
+        )
+        shared = graphs[0] is None or all(g is graphs[0] for g in graphs)
+        if self._data_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            stacked_sh = NamedSharding(self.mesh, P(None, "dp"))
+            sb = _to_device(sb, stacked_sh)
+            if shared:
+                g = (None if graphs[0] is None
+                     else _to_device(graphs[0], self._data_sharding))
+            else:
+                g = jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
+                g = _to_device(g, stacked_sh)
+        else:
+            sb = _to_device(sb)
+            if shared:
+                g = None if graphs[0] is None else _to_device(graphs[0])
+            else:
+                g = jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
+        return sb, g, shared
+
+    def _run_chunk(self, buf, params, opt_state, rng, pending):
+        """Run the buffered (batch, graph) pairs: one scanned jit call when a
+        full, shape-uniform chunk is available, single steps otherwise.
+        Returns (params, opt_state, rng, n_steps)."""
+        k = len(buf)
+        use_scan = k == self.steps_per_call and k > 1
+        if use_scan:
+            sig0 = self._sig(buf[0])
+            use_scan = all(self._sig(p) == sig0 for p in buf[1:])
+        if use_scan:
+            sb, g, shared = self._put_stacked(
+                [b for b, _ in buf], [g for _, g in buf]
+            )
+            rng, *subs = jax.random.split(rng, k + 1)
+            rngs = jnp.stack(subs)
+            fn = self._train_scan_shared if shared else self._train_scan
+            params, opt_state, metrics = fn(params, opt_state, sb, g, rngs)
+            pending.append(metrics)
+            return params, opt_state, rng, k
+        n = 0
+        for batch, graph in buf:
+            jb, g = self._put(batch, graph)
+            rng, sub = jax.random.split(rng)
+            params, opt_state, metrics = self._train_step(
+                params, opt_state, jb, g, sub
+            )
+            pending.append(metrics)
+            n += 1
+        return params, opt_state, rng, n
 
     # ------------------------------------------------------------------
     def fit(
@@ -226,21 +343,27 @@ class Trainer:
             t0 = time.time()
             pending = []          # device-side metric dicts; one sync per epoch
             count = 0
+            buf = []
             for batch in train_loader:
-                graph = self._build_graph(batch)
-                jb, g = self._put(batch, graph)
-                rng, sub = jax.random.split(rng)
-                params, opt_state, metrics = self._train_step(
-                    params, opt_state, jb, g, sub
+                buf.append((batch, self._build_graph(batch)))
+                if len(buf) == self.steps_per_call:
+                    params, opt_state, rng, n = self._run_chunk(
+                        buf, params, opt_state, rng, pending
+                    )
+                    count += n
+                    step += n
+                    buf = []
+            if buf:
+                params, opt_state, rng, n = self._run_chunk(
+                    buf, params, opt_state, rng, pending
                 )
-                pending.append(metrics)
-                count += 1
-                step += 1
+                count += n
+                step += n
             train_time = time.time() - t0
             agg: dict[str, float] = {}
             for m in jax.device_get(pending):
                 for k, v in m.items():
-                    agg[k] = agg.get(k, 0.0) + float(v)
+                    agg[k] = agg.get(k, 0.0) + float(np.sum(v))
             tm = {f"train_{k}": v / max(count, 1) for k, v in agg.items()}
 
             row = {
