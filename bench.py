@@ -37,6 +37,11 @@ def main():
     MP_STEPS = int(os.environ.get("BENCH_MP", 10))
     MLP_LAYERS = 2
     T_IN = 16
+    # bf16: mixed-precision GraphNet (bf16 MXU operands, f32 accumulation
+    # in the fused kernels; +19% train throughput on v5e, loss parity to
+    # 4 decimals — benchmarks/variants.py)
+    DTYPE = {"float32": None, "bf16": jnp.bfloat16}[
+        os.environ.get("BENCH_DTYPE", "float32")]
 
     rng = np.random.default_rng(0)
     coords = rng.uniform(-1, 1, (B, N, 2)).astype(np.float32)
@@ -50,14 +55,14 @@ def main():
         def __call__(self, nf, ef, g):
             enc = batch_vmap(GraphEncoder, in_axes=(0, 0), node_out=LATENT,
                              edge_out=LATENT, mlp_layers=MLP_LAYERS,
-                             mlp_hidden=LATENT, name="enc")
+                             mlp_hidden=LATENT, dtype=DTYPE, name="enc")
             proc = batch_vmap(GraphProcessor, in_axes=(0, 0, 0),
                               latent_dim=LATENT, num_steps=MP_STEPS,
                               mlp_layers=MLP_LAYERS, mlp_hidden=LATENT,
-                              name="proc")
+                              dtype=DTYPE, name="proc")
             dec = batch_vmap(GraphDecoder, in_axes=(0,), node_out=T_IN,
                              mlp_layers=MLP_LAYERS, mlp_hidden=LATENT,
-                             name="dec")
+                             dtype=DTYPE, name="dec")
             x, e = enc(nf, ef)
             x, _ = proc(x, e, g)
             return dec(x)
@@ -73,12 +78,14 @@ def main():
     opt_state = tx.init(params)
 
     fwd_only = bool(os.environ.get("BENCH_FWD_ONLY"))
+    # k optimizer steps per jitted call via lax.scan — amortizes per-step
+    # dispatch exactly like Trainer(steps_per_call=k) does in real training
+    scan_k = int(os.environ.get("BENCH_SCAN", 1))
 
-    @jax.jit
-    def step(params, opt_state, nf, ef, graph, target):
+    def one_step(params, opt_state, nf, ef, graph, target):
         def lfn(p):
             out = net.apply(p, nf, ef, graph)
-            return jnp.mean(jnp.abs(out - target))
+            return jnp.mean(jnp.abs(out.astype(jnp.float32) - target))
 
         if fwd_only:
             return params, opt_state, lfn(params)
@@ -86,6 +93,21 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    if scan_k > 1:
+        @jax.jit
+        def step(params, opt_state, nf, ef, graph, target):
+            def body(carry, _):
+                p, o = carry
+                p, o, loss = one_step(p, o, nf, ef, graph, target)
+                return (p, o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=scan_k
+            )
+            return params, opt_state, losses[-1]
+    else:
+        step = jax.jit(one_step)
 
     # warmup/compile
     for _ in range(3):
@@ -100,7 +122,7 @@ def main():
     dt = time.perf_counter() - t0
 
     edges_per_step = B * e_real * MP_STEPS
-    value = edges_per_step * iters / dt
+    value = edges_per_step * iters * scan_k / dt
 
     base_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs = 1.0

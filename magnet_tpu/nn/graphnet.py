@@ -152,9 +152,12 @@ class InteractionNetwork(fnn.Module):
     def _fusable(self, gs) -> bool:
         import os
 
+        # the fused kernel is dtype-polymorphic: f32 native, or bf16
+        # operands (double MXU rate) with f32 accumulation + LayerNorm
         return (
             gs.blk_recv_local is not None
-            and self.dtype is None
+            and (self.dtype is None
+                 or self.dtype in (jnp.float32, jnp.bfloat16))
             and not os.environ.get("MAGNET_TPU_NO_FUSED")
         )
 
@@ -170,10 +173,13 @@ class InteractionNetwork(fnn.Module):
         n = x.shape[0]
         hdim = h0.shape[-1]
         pxi_pad = jnp.pad(p_xi, ((0, n_pad - n), (0, 0)))
+        wr, br, wo, bo = self.w_rest, self.b_rest, self.w_out, self.b_out
+        if self.dtype is not None:
+            wr, br, wo, bo = (a.astype(self.dtype) for a in (wr, br, wo, bo))
         agg_sum = fused_edge_tail_agg(
             h0.reshape(t, et, hdim),
             pxi_pad.reshape(t, tile_n, hdim),
-            self.w_rest, self.b_rest, self.w_out, self.b_out,
+            wr, br, wo, bo,
             self.ln_scale, self.ln_bias,
             gs.blk_recv_local, gs.edge_mask.reshape(t, et),
         )

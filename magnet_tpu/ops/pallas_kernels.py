@@ -214,6 +214,12 @@ def _fused_ref_impl(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
 
 
 def _dot(a, b):
+    """MXU dot with f32 accumulation.  Operands keep their own dtype —
+    bf16×bf16 runs at double MXU rate; mixed operands are aligned to the
+    wider dtype to keep Mosaic happy."""
+    if a.dtype != b.dtype:
+        wide = jnp.promote_types(a.dtype, b.dtype)
+        a, b = a.astype(wide), b.astype(wide)
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -222,6 +228,9 @@ def _dot(a, b):
 
 def _dot_t(a, b):
     """a^T @ b for (E,H)-style operands: contract the leading axis."""
+    if a.dtype != b.dtype:
+        wide = jnp.promote_types(a.dtype, b.dtype)
+        a, b = a.astype(wide), b.astype(wide)
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -248,25 +257,29 @@ def _fused_fwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
         w_rest = jnp.zeros((1, H, H), jnp.float32)
         b_rest = jnp.zeros((1, H), jnp.float32)
 
+    dt = h0.dtype  # compute dtype: bf16 operands double MXU rate; all
+    #                accumulation and the LayerNorm stay f32
+
     def kernel(h0_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref, ls_ref,
                lb_ref, recv_ref, mask_ref, out_ref):
         ec = pl.program_id(1)
         recv = recv_ref[0, 0]                               # (chunk,)
         m = mask_ref[0, 0]
         cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
-        oh_g = (cols == recv[:, None]).astype(jnp.float32)  # (chunk, tile_n)
-        gath = _dot(oh_g, pxi_ref[0])                       # (chunk, H)
-        h = jax.nn.relu(h0_ref[0] + gath)
+        oh_g = (cols == recv[:, None]).astype(dt)           # (chunk, tile_n)
+        gath = _dot(oh_g, pxi_ref[0])                       # (chunk, H) f32
+        h = jax.nn.relu(h0_ref[0] + gath).astype(dt)
         for k in range(L1):
-            h = jax.nn.relu(_dot(h, wr_ref[k]) + br_ref[k][None, :])
+            h = jax.nn.relu(_dot(h, wr_ref[k])
+                            + br_ref[k][None, :]).astype(dt)
         y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
         mu = jnp.mean(y, axis=-1, keepdims=True)
         var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
         y = (y - mu) * jax.lax.rsqrt(var + LN_EPS) * ls_ref[0][None, :] \
             + lb_ref[0][None, :]
         rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
-        oh_a = (rows == recv[None, :]).astype(jnp.float32) * m[None, :]
-        part = _dot(oh_a, y)                                # (tile_n, C)
+        oh_a = (rows == recv[None, :]).astype(dt) * m[None, :].astype(dt)
+        part = _dot(oh_a, y.astype(dt))                     # (tile_n, C)
 
         @pl.when(ec == 0)
         def _():
@@ -329,6 +342,18 @@ def _fused_bwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
         w_rest = jnp.zeros((1, H, H), jnp.float32)
         b_rest = jnp.zeros((1, H), jnp.float32)
 
+    dt = h0.dtype  # compute dtype; see _fused_fwd_pallas
+
+    def _dot_rt(a, b):
+        """a @ b^T with f32 accumulation, operands aligned like _dot."""
+        if a.dtype != b.dtype:
+            wide = jnp.promote_types(a.dtype, b.dtype)
+            a, b = a.astype(wide), b.astype(wide)
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     def kernel(h0_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref, ls_ref,
                recv_ref, mask_ref, g_ref,
                dh0_ref, dpxi_ref, dwr_ref, dbr_ref, dwo_ref, dbo_ref,
@@ -338,14 +363,15 @@ def _fused_bwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
         recv = recv_ref[0, 0]
         m = mask_ref[0, 0]
         cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
-        oh_g = (cols == recv[:, None]).astype(jnp.float32)
+        oh_g = (cols == recv[:, None]).astype(dt)
 
         # --- recompute forward, keeping layer inputs ---
         gath = _dot(oh_g, pxi_ref[0])
-        h = jax.nn.relu(h0_ref[0] + gath)
+        h = jax.nn.relu(h0_ref[0] + gath).astype(dt)
         hs = [h]                                    # inputs to rest layers
         for k in range(L1):
-            h = jax.nn.relu(_dot(h, wr_ref[k]) + br_ref[k][None, :])
+            h = jax.nn.relu(_dot(h, wr_ref[k])
+                            + br_ref[k][None, :]).astype(dt)
             hs.append(h)
         y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
         mu = jnp.mean(y, axis=-1, keepdims=True)
@@ -353,8 +379,8 @@ def _fused_bwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
         inv = jax.lax.rsqrt(var + LN_EPS)
         xhat = (y - mu) * inv
 
-        # --- backward ---
-        d_out = _dot(oh_g, g_ref[0]) * m[:, None]   # (chunk, C) masked
+        # --- backward (element-wise math f32; dot operands in dt) ---
+        d_out = _dot(oh_g, g_ref[0].astype(dt)) * m[:, None]  # (chunk, C) f32
         dls = jnp.sum(d_out * xhat, axis=0, keepdims=True)
         dlb = jnp.sum(d_out, axis=0, keepdims=True)
         d_xhat = d_out * ls_ref[0][None, :]
@@ -363,27 +389,23 @@ def _fused_bwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
             - jnp.mean(d_xhat, axis=-1, keepdims=True)
             - xhat * jnp.mean(d_xhat * xhat, axis=-1, keepdims=True)
         )
-        dwo = _dot_t(hs[L1], d_y)                   # (H, C)
+        d_yc = d_y.astype(dt)
+        dwo = _dot_t(hs[L1], d_yc)                  # (H, C)
         dbo = jnp.sum(d_y, axis=0, keepdims=True)
-        d_h = jax.lax.dot_general(                  # d_y @ W_out^T
-            d_y, wo_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        d_h = _dot_rt(d_yc, wo_ref[:])              # d_y @ W_out^T
         dwr_list = []
         dbr_list = []
         for k in range(L1 - 1, -1, -1):
-            d_h = d_h * (hs[k + 1] > 0)
-            dwr_list.append(_dot_t(hs[k], d_h))
+            # relu mask in f32 — Mosaic has no bf16 cmpf lowering
+            d_h = d_h * (hs[k + 1].astype(jnp.float32) > 0)
+            dwr_list.append(_dot_t(hs[k], d_h.astype(dt)))
             dbr_list.append(jnp.sum(d_h, axis=0))
-            d_h = jax.lax.dot_general(
-                d_h, wr_ref[k], dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        d_h = d_h * (hs[0] > 0)
+            d_h = _dot_rt(d_h.astype(dt), wr_ref[k])
+        d_h = d_h * (hs[0].astype(jnp.float32) > 0)
         dh0_ref[0] = d_h
         rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
-        oh_a = (rows == recv[None, :]).astype(jnp.float32)
-        dpxi_part = _dot(oh_a, d_h)
+        oh_a = (rows == recv[None, :]).astype(dt)
+        dpxi_part = _dot(oh_a, d_h.astype(dt))
 
         first = jnp.logical_and(t == 0, ec == 0)
 
@@ -539,8 +561,10 @@ def _fused_bwd(res, g):
         grads = _fused_ref_bwd(h0, pxi, w_rest, b_rest, w_out, b_out,
                                ln_s, ln_b, recv_local, mask, g)
     dh0, dpxi, dwr, dbr, dwo, dbo, dls, dlb = grads
-    return (dh0.astype(h0.dtype), dpxi.astype(pxi.dtype), dwr, dbr, dwo,
-            dbo, dls, dlb, None, None)
+    return (dh0.astype(h0.dtype), dpxi.astype(pxi.dtype),
+            dwr.astype(w_rest.dtype), dbr.astype(b_rest.dtype),
+            dwo.astype(w_out.dtype), dbo.astype(b_out.dtype),
+            dls.astype(ln_s.dtype), dlb.astype(ln_b.dtype), None, None)
 
 
 fused_edge_tail_agg.defvjp(_fused_fwd, _fused_bwd)
@@ -591,18 +615,20 @@ def _mpnn_fwd_pallas(h0, precv, w, b, recv_local, mask):
     mask3 = mask.reshape(T, 1, E)
     b2 = b.reshape(1, H)
 
+    dt = h0.dtype  # compute dtype; see _fused_fwd_pallas
+
     def kernel(h0_ref, pr_ref, w_ref, b_ref, recv_ref, mask_ref, out_ref):
         ec = pl.program_id(1)
         recv = recv_ref[0, 0]
         m = mask_ref[0, 0]
         cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
-        oh_g = (cols == recv[:, None]).astype(jnp.float32)
+        oh_g = (cols == recv[:, None]).astype(dt)
         gath = _dot(oh_g, pr_ref[0])
-        h1 = _swish(h0_ref[0] + gath)
+        h1 = _swish(h0_ref[0] + gath).astype(dt)
         h2 = _swish(_dot(h1, w_ref[:]) + b_ref[0][None, :])
         rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
-        oh_a = (rows == recv[None, :]).astype(jnp.float32) * m[None, :]
-        part = _dot(oh_a, h2)
+        oh_a = (rows == recv[None, :]).astype(dt) * m[None, :].astype(dt)
+        part = _dot(oh_a, h2.astype(dt))
 
         @pl.when(ec == 0)
         def _():
@@ -653,6 +679,8 @@ def _mpnn_bwd_pallas(h0, precv, w, b, recv_local, mask, g):
     mask3 = mask.reshape(T, 1, E)
     b2 = b.reshape(1, H)
 
+    dt = h0.dtype  # compute dtype; see _fused_fwd_pallas
+
     def kernel(h0_ref, pr_ref, w_ref, b_ref, recv_ref, mask_ref, g_ref,
                dh0_ref, dpr_ref, dw_ref, db_ref):
         t = pl.program_id(0)
@@ -660,25 +688,26 @@ def _mpnn_bwd_pallas(h0, precv, w, b, recv_local, mask, g):
         recv = recv_ref[0, 0]
         m = mask_ref[0, 0]
         cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
-        oh_g = (cols == recv[:, None]).astype(jnp.float32)
+        oh_g = (cols == recv[:, None]).astype(dt)
         gath = _dot(oh_g, pr_ref[0])
-        z1 = h0_ref[0] + gath
+        z1 = h0_ref[0] + gath                       # f32
         h1 = _swish(z1)
-        z2 = _dot(h1, w_ref[:]) + b_ref[0][None, :]
+        z2 = _dot(h1.astype(dt), w_ref[:]) + b_ref[0][None, :]
 
-        d_h2 = _dot(oh_g, g_ref[0]) * m[:, None]
+        d_h2 = _dot(oh_g, g_ref[0].astype(dt)) * m[:, None]
         d_z2 = d_h2 * _dswish(z2)
-        dw = _dot_t(h1, d_z2)
+        dw = _dot_t(h1.astype(dt), d_z2.astype(dt))
         db = jnp.sum(d_z2, axis=0, keepdims=True)
         d_h1 = jax.lax.dot_general(
-            d_z2, w_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            d_z2.astype(dt), w_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         d_z1 = d_h1 * _dswish(z1)
         dh0_ref[0] = d_z1
         rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
-        oh_a = (rows == recv[None, :]).astype(jnp.float32)
-        dpr_part = _dot(oh_a, d_z1)
+        oh_a = (rows == recv[None, :]).astype(dt)
+        dpr_part = _dot(oh_a, d_z1.astype(dt))
 
         first = jnp.logical_and(t == 0, ec == 0)
 
@@ -773,8 +802,8 @@ def _mpnn_bwd(res, g):
 
         _, vjp = jax.vjp(f, h0, precv, w, b)
         dh0, dpr, dw, db = vjp(g)
-    return (dh0.astype(h0.dtype), dpr.astype(precv.dtype), dw, db, None,
-            None)
+    return (dh0.astype(h0.dtype), dpr.astype(precv.dtype),
+            dw.astype(w.dtype), db.astype(b.dtype), None, None)
 
 
 fused_mpnn_edge_agg.defvjp(_mpnn_fwd, _mpnn_bwd)

@@ -374,3 +374,88 @@ def test_fused_mpnn_edge_agg_interpret(monkeypatch):
     for name, wv, hv in zip(("h0", "pr", "w", "b"), want, got):
         np.testing.assert_allclose(np.asarray(hv), np.asarray(wv), rtol=1e-3,
                                    atol=1e-4, err_msg=name)
+
+
+def test_fused_edge_tail_bf16_interpret(monkeypatch):
+    """bf16-native fused kernel (interpret mode): fwd close to the f32
+    reference within bf16 tolerance; bwd returns grads in the primal
+    dtypes with values close to the f32 autodiff reference."""
+    from magnet_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(31)
+    a = _fused_rand_args(rng, T=2, E=256, H=64, C=32, L1=1)
+    ref32 = pk._fused_ref_impl(a["h0"], a["pxi"], a["wr"], a["br"], a["wo"],
+                               a["bo"], a["ls"], a["lb"], a["recv"],
+                               a["mask"])
+    bf = {k: (v.astype(jnp.bfloat16)
+              if k in ("h0", "pxi", "wr", "br", "wo", "bo") else v)
+          for k, v in a.items()}
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    out = pk._fused_fwd_pallas(bf["h0"], bf["pxi"], bf["wr"], bf["br"],
+                               bf["wo"], bf["bo"], bf["ls"], bf["lb"],
+                               bf["recv"], bf["mask"])
+    assert out.dtype == jnp.float32
+    # bf16 operands, f32 accumulation: ~2-3 decimal digits
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref32),
+                               rtol=5e-2, atol=5e-2)
+
+    g = jnp.asarray(rng.normal(size=np.asarray(ref32).shape)
+                    .astype(np.float32))
+    order = ("h0", "pxi", "wr", "br", "wo", "bo", "ls", "lb")
+
+    def ref_loss(*p):
+        return jnp.sum(pk._fused_ref_impl(*p, a["recv"], a["mask"]) * g)
+
+    want = jax.grad(ref_loss, argnums=tuple(range(8)))(
+        *[a[k] for k in order])
+    got = pk._fused_bwd_pallas(*[bf[k] for k in order], a["recv"],
+                               a["mask"], g)
+    for name, wv, hv in zip(order, want, got):
+        # relu-boundary sign flips make a handful of elements diverge in
+        # bf16 — compare in relative L2, not element-wise
+        wv = np.asarray(wv, np.float32)
+        hv = np.asarray(hv, np.float32)
+        rel = np.linalg.norm(hv - wv) / max(np.linalg.norm(wv), 1e-6)
+        assert rel < 0.08, f"{name}: rel L2 {rel}"
+
+
+def test_interaction_network_bf16_fused_runs(monkeypatch):
+    """InteractionNetwork with dtype=bf16 engages the fused path and its
+    loss/grads stay close to the unfused bf16 fallback."""
+    import jax
+
+    from magnet_tpu.models.common import build_radius_graph_batch
+    from magnet_tpu.nn.graphnet import InteractionNetwork
+
+    rng = np.random.default_rng(5)
+    n, latent = 64, 32
+    coords = rng.uniform(-1, 1, (1, n, 2)).astype(np.float32)
+    g = build_radius_graph_batch(coords, 0.5, loop=True)
+    gs = jax.tree.map(lambda x: x[0] if x is not None else None, g)
+    x = jnp.asarray(rng.normal(size=(n, latent)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(gs.senders.shape[0], latent))
+                    .astype(np.float32))
+    net = InteractionNetwork(node_out=latent, edge_out=latent, mlp_layers=2,
+                             mlp_hidden=latent, dtype=jnp.bfloat16)
+    params = net.init(jax.random.PRNGKey(0), x, e, gs)
+
+    def loss(p, fused):
+        if not fused:
+            monkeypatch.setenv("MAGNET_TPU_NO_FUSED", "1")
+        else:
+            monkeypatch.delenv("MAGNET_TPU_NO_FUSED", raising=False)
+        xo, eo = net.apply(p, x, e, gs)
+        return jnp.mean(xo.astype(jnp.float32) ** 2)
+
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    lf, gf = jax.value_and_grad(lambda p: loss(p, True))(params)
+    lu, gu = jax.value_and_grad(lambda p: loss(p, False))(params)
+    np.testing.assert_allclose(float(lf), float(lu), rtol=3e-2, atol=3e-2)
+
+    def close(va, vb):
+        va = np.asarray(va, np.float32)
+        vb = np.asarray(vb, np.float32)
+        rel = np.linalg.norm(va - vb) / max(np.linalg.norm(vb), 1e-6)
+        assert rel < 0.1, f"grad rel L2 {rel}"
+
+    jax.tree.map(close, gf, gu)
