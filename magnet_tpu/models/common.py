@@ -87,6 +87,17 @@ def smooth_l1_loss(pred, target, beta: float = 1.0):
 LOSSES = {"l1": l1_loss, "l2": l2_loss, "smooth_l1": smooth_l1_loss}
 
 
+def parse_dtype(name):
+    """Model-config dtype knob -> flax module dtype.  None/f32 keep the
+    default f32 path; 'bf16' engages the bf16-native fused kernels
+    (ops/pallas_kernels.py: bf16 MXU operands, f32 accumulation)."""
+    if name in (None, "none", "float32", "fp32"):
+        return None
+    if name in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    raise ValueError(f"unknown dtype {name!r} (use float32 or bf16)")
+
+
 def nrmse(pred, target, eps: float = 1e-12):
     """Normalized RMSE over the full tensor (eval metric for E1/B1 parity)."""
     num = jnp.sqrt(jnp.mean((pred - target) ** 2))

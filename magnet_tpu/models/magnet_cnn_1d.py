@@ -28,6 +28,7 @@ from magnet_tpu.models.common import (
     batch_vmap,
     build_radius_graph_batch,
     l1_loss,
+    parse_dtype,
     time_windows,
 )
 from magnet_tpu.nn.core import MLP
@@ -53,6 +54,10 @@ class MAgNetCNN1DCore(fnn.Module):
     res_layers: int = 4
 
     remat: bool = False
+    # dtype of the GraphNet stage only (encoder/processor/decoder); the
+    # EDSR + INR front-end stays f32.  bf16 engages the bf16-native fused
+    # edge kernels (+19% train throughput on v5e).
+    graph_dtype: Any = None
 
     def setup(self):
         self.encoder = EDSR(
@@ -77,6 +82,7 @@ class MAgNetCNN1DCore(fnn.Module):
             edge_out=self.latent_dim,
             mlp_layers=self.mlp_layers,
             mlp_hidden=self.mlp_hidden,
+            dtype=self.graph_dtype,
         )
         self._processor = batch_vmap(
             GraphProcessor,
@@ -86,6 +92,7 @@ class MAgNetCNN1DCore(fnn.Module):
             remat=self.remat,
             mlp_layers=self.mlp_layers,
             mlp_hidden=self.mlp_hidden,
+            dtype=self.graph_dtype,
         )
         self._decoder = batch_vmap(
             GraphDecoder,
@@ -93,6 +100,7 @@ class MAgNetCNN1DCore(fnn.Module):
             node_out=self.time_slice,
             mlp_layers=self.mlp_layers,
             mlp_hidden=self.mlp_hidden,
+            dtype=self.graph_dtype,
         )
 
     # ---- staged pieces (reused by the graph-parallel execution path) -----
@@ -214,6 +222,7 @@ class MAgNetCNN1D(PartitionedGraphMixin):
             res_scale=float(self.hp.get("res_scale", 1.0)),
             res_layers=int(self.hp.get("res_layers", 4)),
             remat=bool(self.hp.get("remat", False)),
+            graph_dtype=parse_dtype(self.hp.get("graph_dtype")),
         )
 
     # ---------- host-side ----------

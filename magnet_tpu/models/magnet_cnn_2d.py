@@ -20,6 +20,7 @@ from magnet_tpu.models.common import (
     batch_vmap,
     build_radius_graph_batch,
     l1_loss,
+    parse_dtype,
     time_windows,
 )
 from magnet_tpu.nn.core import MLP
@@ -43,6 +44,7 @@ class MAgNetCNN2DCore(fnn.Module):
     res_layers: int = 16
 
     remat: bool = False
+    graph_dtype: Any = None  # GraphNet-stage dtype (see magnet_cnn_1d.py)
 
     def setup(self):
         self.encoder = EDSR(
@@ -59,17 +61,19 @@ class MAgNetCNN2DCore(fnn.Module):
             GraphEncoder, in_axes=(0, 0),
             node_out=self.latent_dim, edge_out=self.latent_dim,
             mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
+            dtype=self.graph_dtype,
         )
         self._processor = batch_vmap(
             GraphProcessor, in_axes=(0, 0, 0),
             latent_dim=self.latent_dim,
             num_steps=self.num_message_passing_steps, remat=self.remat,
             mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
+            dtype=self.graph_dtype,
         )
         self._decoder = batch_vmap(
             GraphDecoder, in_axes=(0,),
             node_out=self.time_slice, mlp_layers=self.mlp_layers,
-            mlp_hidden=self.mlp_hidden,
+            mlp_hidden=self.mlp_hidden, dtype=self.graph_dtype,
         )
 
     def graph_pre(self, x_t, coords, cell, t):
@@ -179,6 +183,7 @@ class MAgNetCNN2D(PartitionedGraphMixin):
             res_scale=float(self.hp.get("res_scale", 1.0)),
             res_layers=int(self.hp.get("res_layers", 16)),
             remat=bool(self.hp.get("remat", False)),
+            graph_dtype=parse_dtype(self.hp.get("graph_dtype")),
         )
 
     # ---------- graph-parallel hooks (PartitionedGraphMixin) -------------

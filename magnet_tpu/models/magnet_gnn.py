@@ -25,6 +25,7 @@ from magnet_tpu.models.common import (
     batch_vmap,
     build_radius_graph_batch,
     l1_loss,
+    parse_dtype,
     time_windows,
 )
 from magnet_tpu.nn.core import MLP
@@ -43,6 +44,7 @@ class MAgNetGNNCore(fnn.Module):
     codec_neighbors: int = 4
     interpolation: str = "area"
     remat: bool = False
+    graph_dtype: Any = None  # GraphNet-stage dtype (see magnet_cnn_1d.py)
 
     @fnn.compact
     def __call__(self, x_lr, lr_coords, hr_coords, t, hr_last,
@@ -83,13 +85,13 @@ class MAgNetGNNCore(fnn.Module):
             GraphEncoder, in_axes=(0, 0),
             node_out=self.latent_dim, edge_out=self.latent_dim,
             mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
-            name="encoder",
+            dtype=self.graph_dtype, name="encoder",
         )
         proc = batch_vmap(
             GraphProcessor, in_axes=(0, 0, 0),
             latent_dim=self.latent_dim, num_steps=self.num_message_passing_steps, remat=self.remat,
             mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
-            name="processor",
+            dtype=self.graph_dtype, name="processor",
         )
         nf, ef = enc(nf, ef)
         lr_encoded, _ = proc(nf, ef, graph_lr)                # (B, L, latent)
@@ -114,18 +116,19 @@ class MAgNetGNNCore(fnn.Module):
             GraphEncoder, in_axes=(0, 0),
             node_out=self.latent_dim, edge_out=self.latent_dim,
             mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
-            name="_encoder",
+            dtype=self.graph_dtype, name="_encoder",
         )
         proc2 = batch_vmap(
             GraphProcessor, in_axes=(0, 0, 0),
             latent_dim=self.latent_dim, num_steps=self.num_message_passing_steps, remat=self.remat,
             mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
-            name="_processor",
+            dtype=self.graph_dtype, name="_processor",
         )
         gdec = batch_vmap(
             GraphDecoder, in_axes=(0,),
             node_out=self.time_slice, mlp_layers=self.mlp_layers,
-            mlp_hidden=self.mlp_hidden, name="_decoder",
+            mlp_hidden=self.mlp_hidden, dtype=self.graph_dtype,
+            name="_decoder",
         )
         nf, ef = enc2(nf, ef)
         nf, _ = proc2(nf, ef, graph_all)
@@ -171,6 +174,7 @@ class MAgNetGNN:
             codec_neighbors=self.codec_neighbors,
             interpolation=self.hp.get("interpolation", "area"),
             remat=bool(self.hp.get("remat", False)),
+            graph_dtype=parse_dtype(self.hp.get("graph_dtype")),
         )
 
     # ---------- host-side ----------

@@ -165,6 +165,32 @@ def test_magnet_cnn_1d(f1d48):
     _check(m, batch, g)
 
 
+def test_magnet_cnn_1d_graph_dtype_bf16(f1d48):
+    """model.params.graph_dtype=bf16 engages the mixed-precision GraphNet
+    stage; loss stays close to the f32 path (same params: the knob only
+    changes compute dtype, not the param tree)."""
+    ds = DatasetImplicit1D(f1d48, "train", nt=48, nx=64, samples=16)
+    batch = next(iter(DataLoader(ds, 2, prefetch=0)))
+    hp = dict(time_slice=16, latent_dim=8, num_message_passing_steps=2,
+              mlp_layers=2, mlp_hidden=16, n_chan=16, res_layers=1,
+              radius=0.3, teacher_forcing=True, loss="l1")
+    m32 = create_model("magnet_cnn", hp)
+    mbf = create_model("magnet_cnn", dict(hp, graph_dtype="bf16"))
+    g = m32.build_graph(batch)
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "sample_idx"}
+    rng = jax.random.PRNGKey(0)
+    params = m32.init(rng, jb, g)
+    # identical param tree: the bf16 core must accept the f32 params as-is
+    l32, _ = m32.loss(params, jb, g, rng=rng, train=True)
+    lbf, _ = mbf.loss(params, jb, g, rng=rng, train=True)
+    assert np.isfinite(float(lbf))
+    assert abs(float(lbf) - float(l32)) < 5e-2 * max(1.0, abs(float(l32)))
+    # and it must be trainable: finite, nonzero grads
+    gbf = jax.grad(lambda p: mbf.loss(p, jb, g, rng=rng, train=True)[0])(params)
+    gn = sum(float(jnp.sum(g_**2)) for g_ in jax.tree.leaves(gbf))
+    assert np.isfinite(gn) and gn > 0
+
+
 def test_magnet_cnn_1d_val_full_grid(f1d48):
     ds = DatasetImplicit1D(f1d48, "valid", nt=48, nx=64)
     batch = next(iter(DataLoader(ds, 2, prefetch=0, shuffle=False)))
