@@ -37,11 +37,12 @@ def main():
     MP_STEPS = int(os.environ.get("BENCH_MP", 10))
     MLP_LAYERS = 2
     T_IN = 16
-    # bf16: mixed-precision GraphNet (bf16 MXU operands, f32 accumulation
-    # in the fused kernels; +19% train throughput on v5e, loss parity to
-    # 4 decimals — benchmarks/variants.py)
+    # Default bf16: the recommended TPU training mode — mixed-precision
+    # GraphNet (bf16 MXU operands, f32 accumulation + LayerNorm in the
+    # fused kernels), loss parity to 4 decimals vs fp32
+    # (benchmarks/variants.py).  BENCH_DTYPE=float32 for the fp32 number.
     DTYPE = {"float32": None, "bf16": jnp.bfloat16}[
-        os.environ.get("BENCH_DTYPE", "float32")]
+        os.environ.get("BENCH_DTYPE", "bf16")]
 
     rng = np.random.default_rng(0)
     coords = rng.uniform(-1, 1, (B, N, 2)).astype(np.float32)

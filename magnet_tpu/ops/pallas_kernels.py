@@ -172,14 +172,24 @@ blocked_segment_sum.defvjp(_fwd, _bwd)
 # blocks persist in VMEM).
 # ---------------------------------------------------------------------------
 
-FUSED_MAX_E_CHUNK = 1024  # VMEM budget: bwd holds ~L activation chunks
+# VMEM budget for the fused kernels' edge-chunk size: the bwd kernel holds
+# ~L1+3 (chunk, H) activation buffers.  Larger chunks mean bigger MXU
+# matmuls and fewer grid steps (e.g. E_TILE=2816: cap 1024 -> chunk 256 /
+# 11 grid chunks; cap 4096 -> one 2816 chunk).  Swept on v5e (bench.py,
+# E_TILE=2816): bf16 peaks at cap 2048 (28.7M train edges/s, +10% over
+# cap 1024), f32 at cap 4096 (25.0M, +7%).  Overridable for tuning.
+_FUSED_CHUNK_ENV = os.environ.get("MAGNET_TPU_FUSED_CHUNK")
 
 
-def _fused_e_chunk(e: int) -> int:
-    if e <= FUSED_MAX_E_CHUNK:
+def _fused_e_chunk(e: int, dtype=None) -> int:
+    if _FUSED_CHUNK_ENV:
+        cap = int(_FUSED_CHUNK_ENV)
+    else:
+        cap = 2048 if dtype == jnp.bfloat16 else 4096
+    if e <= cap:
         return e
     k = e // 128
-    for m in range(FUSED_MAX_E_CHUNK // 128, 0, -1):
+    for m in range(cap // 128, 0, -1):
         if k % m == 0:
             return 128 * m
     return 128
@@ -246,7 +256,7 @@ def _fused_fwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
     tile_n = pxi.shape[1]
     L1 = w_rest.shape[0]
     C = w_out.shape[1]
-    chunk = _fused_e_chunk(E)
+    chunk = _fused_e_chunk(E, h0.dtype)
     n_chunks = E // chunk
     recv3 = recv_local.reshape(T, 1, E)
     mask3 = mask.reshape(T, 1, E)
@@ -332,7 +342,7 @@ def _fused_bwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
     tile_n = pxi.shape[1]
     L1 = w_rest.shape[0]
     C = w_out.shape[1]
-    chunk = _fused_e_chunk(E)
+    chunk = _fused_e_chunk(E, h0.dtype)
     n_chunks = E // chunk
     recv3 = recv_local.reshape(T, 1, E)
     mask3 = mask.reshape(T, 1, E)
@@ -609,7 +619,7 @@ def _mpnn_fwd_pallas(h0, precv, w, b, recv_local, mask):
 
     T, E, H = h0.shape
     tile_n = precv.shape[1]
-    chunk = _fused_e_chunk(E)
+    chunk = _fused_e_chunk(E, h0.dtype)
     n_chunks = E // chunk
     recv3 = recv_local.reshape(T, 1, E)
     mask3 = mask.reshape(T, 1, E)
@@ -673,7 +683,7 @@ def _mpnn_bwd_pallas(h0, precv, w, b, recv_local, mask, g):
 
     T, E, H = h0.shape
     tile_n = precv.shape[1]
-    chunk = _fused_e_chunk(E)
+    chunk = _fused_e_chunk(E, h0.dtype)
     n_chunks = E // chunk
     recv3 = recv_local.reshape(T, 1, E)
     mask3 = mask.reshape(T, 1, E)
