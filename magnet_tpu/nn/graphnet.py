@@ -161,12 +161,32 @@ class InteractionNetwork(fnn.Module):
             and not os.environ.get("MAGNET_TPU_NO_FUSED")
         )
 
-    def _call_fused(self, x, e, gs):
+    def _project_edges(self, e, e_scale):
+        """W_e·e + b for the current step's edge features.
+
+        With ``e_scale`` set, ``e`` is the step-0 edge latents e_0 and the
+        true input is e_scale·e_0 (e_scale = 2^k from the PyG e+e residual
+        doubling, see module docstring).  Since e_scale is a power of two,
+        s·Dense(e_0) + (1−s)·b == Dense(s·e_0) up to one rounding on the
+        tiny (H,) bias term — this avoids materializing the (E, C) scaled
+        edge array every mp step (pure HBM traffic at E ≈ 20·N)."""
+        pe = self.e_w_e(e)
+        if e_scale is None:
+            return pe
+        b = self.e_w_e.variables["params"]["bias"]
+        if self.dtype is not None:
+            pe = pe.astype(self.dtype)
+            b = b.astype(self.dtype)
+        s = jnp.asarray(e_scale, pe.dtype)
+        return s * pe + (1 - s) * b
+
+    def _call_fused(self, x, e, gs, e_scale=None):
         from magnet_tpu.ops.pallas_kernels import fused_edge_tail_agg
 
         p_xi = self.e_w_xi(x)                                    # (N, H)
         p_xj = self.e_w_xj(x)                                    # (N, H)
-        h0 = gather_nodes(p_xj, gs, "sender") + self.e_w_e(e)    # (E, H)
+        h0 = gather_nodes(p_xj, gs, "sender") \
+            + self._project_edges(e, e_scale)                    # (E, H)
         t, et = gs.blk_recv_local.shape
         tile_n = 128
         n_pad = t * tile_n
@@ -185,24 +205,28 @@ class InteractionNetwork(fnn.Module):
         )
         agg = agg_sum.reshape(n_pad, -1)[:n] / jnp.maximum(gs.degree, 1.0)
         upd = self.node_fn(jnp.concatenate([agg.astype(x.dtype), x], axis=-1))
-        return x + upd, e + e
+        return x + upd, (e if e_scale is not None else e + e)
 
-    def __call__(self, x, e, gs):
+    def __call__(self, x, e, gs, e_scale=None):
+        """One message-passing step.  With ``e_scale`` (a traced scalar),
+        ``e`` is treated as e_scale·e (the caller carries the PyG doubling
+        as a scalar instead of materializing e+e) and the edge return is
+        ``e`` unchanged; otherwise reference semantics: returns e + e."""
         if self._fusable(gs):
-            return self._call_fused(x, e, gs)
+            return self._call_fused(x, e, gs, e_scale)
         p_xi = self.e_w_xi(x)                                    # (N, H)
         p_xj = self.e_w_xj(x)                                    # (N, H)
         h = (
             gather_nodes(p_xi, gs, "receiver")
             + gather_nodes(p_xj, gs, "sender")
-            + self.e_w_e(e)
+            + self._project_edges(e, e_scale)
         )                                                        # (E, H)
         msg = self._edge_tail(h)
         agg = aggregate_mean_graph(msg, gs)                      # (N, C)
         upd = self.node_fn(jnp.concatenate([agg, x], axis=-1))
         # residuals; the edge return is e + e (PyG update-arg quirk, see
         # module docstring) — NOT msg + e.
-        return x + upd, e + e
+        return x + upd, (e if e_scale is not None else e + e)
 
 
 class _ProcStep(fnn.Module):
@@ -213,7 +237,7 @@ class _ProcStep(fnn.Module):
 
     @fnn.compact
     def __call__(self, carry, _):
-        x, e, gs = carry
+        x, e, scale, gs = carry
         x, e = InteractionNetwork(
             node_out=self.latent_dim,
             edge_out=self.latent_dim,
@@ -221,8 +245,10 @@ class _ProcStep(fnn.Module):
             mlp_hidden=self.mlp_hidden,
             dtype=self.dtype,
             name="step",
-        )(x, e, gs)
-        return (x, e, gs), None
+        )(x, e, gs, e_scale=scale)
+        # the PyG e+e residual doubling, carried as an exact power-of-two
+        # scalar instead of an (E, C) materialization per step
+        return (x, e, scale * 2, gs), None
 
 
 class GraphProcessor(fnn.Module):
@@ -257,8 +283,11 @@ class GraphProcessor(fnn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
             e = e.astype(self.dtype)
-        (x, e, _), _ = scan((x, e, gs), None)
-        return x, e
+        scale0 = jnp.ones((), x.dtype)
+        (x, e, scale, _), _ = scan((x, e, scale0, gs), None)
+        # reconstruct the reference's doubled edge features (e · 2^steps);
+        # DCE'd when callers ignore the edge return
+        return x, e * scale
 
 
 class GraphDecoder(fnn.Module):
