@@ -23,6 +23,7 @@ run magnet_gnn_full_e3 10800 \
   datamodule.nt_train=250 datamodule.nx_train=50 \
   datamodule.nt_val=250 datamodule.nx_val=50 \
   datamodule.nt_test=250 datamodule.nx_test=50 \
+  datamodule.samples=16 \
   trainer.max_epochs=100
 
 # 2) magnet_gnn 2D irregular 128-node (flagship irregular use case), 250 ep
