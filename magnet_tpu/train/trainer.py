@@ -407,13 +407,15 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def evaluate(self, params, loader) -> dict[str, float]:
-        agg: dict[str, float] = {}
-        n = 0
+        # keep metric dicts on device and fetch once: a blocking
+        # device_get costs ~40 ms through the axon relay (CLAUDE.md)
+        pending = []
         for batch in loader:
             graph = self._build_graph(batch)
             jb, g = self._put(batch, graph)
-            metrics = jax.device_get(self._val_step(params, jb, g))
+            pending.append(self._val_step(params, jb, g))
+        agg: dict[str, float] = {}
+        for metrics in jax.device_get(pending):
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
-            n += 1
-        return {k: v / max(n, 1) for k, v in agg.items()}
+        return {k: v / max(len(pending), 1) for k, v in agg.items()}
