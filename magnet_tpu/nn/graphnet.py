@@ -185,8 +185,14 @@ class InteractionNetwork(fnn.Module):
 
         p_xi = self.e_w_xi(x)                                    # (N, H)
         p_xj = self.e_w_xj(x)                                    # (N, H)
-        h0 = gather_nodes(p_xj, gs, "sender") \
-            + self._project_edges(e, e_scale)                    # (E, H)
+        # NOTE (profiled, v5e): the sender gather is the single largest
+        # non-kernel cost (~1.2-1.5 ms per mp step at bench shapes; bf16
+        # rows are 256 B DMAs).  Forcing an f32 gather via casts +
+        # optimization_barrier was tried and made things WORSE (-6%): the
+        # barrier blocks surrounding fusions.  The structural fix is the
+        # in-kernel sender-tile one-hot gather (ROADMAP).
+        gathered = gather_nodes(p_xj, gs, "sender")
+        h0 = gathered + self._project_edges(e, e_scale)          # (E, H)
         t, et = gs.blk_recv_local.shape
         tile_n = 128
         n_pad = t * tile_n
@@ -236,8 +242,11 @@ class _ProcStep(fnn.Module):
     dtype: Any = None
 
     @fnn.compact
-    def __call__(self, carry, _):
-        x, e, scale, gs = carry
+    def __call__(self, carry, gs):
+        # gs arrives as an fnn.broadcast input (NOT part of the carry):
+        # loop-invariant graph index arrays in the carry get re-copied
+        # every scan iteration by XLA (profile_bench.py)
+        x, e, scale = carry
         x, e = InteractionNetwork(
             node_out=self.latent_dim,
             edge_out=self.latent_dim,
@@ -248,7 +257,7 @@ class _ProcStep(fnn.Module):
         )(x, e, gs, e_scale=scale)
         # the PyG e+e residual doubling, carried as an exact power-of-two
         # scalar instead of an (E, C) materialization per step
-        return (x, e, scale * 2, gs), None
+        return (x, e, scale * 2), None
 
 
 class GraphProcessor(fnn.Module):
@@ -277,6 +286,7 @@ class GraphProcessor(fnn.Module):
             step_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True},
+            in_axes=fnn.broadcast,
             length=self.num_steps,
         )(self.latent_dim, self.mlp_layers, self.mlp_hidden, self.dtype,
           name="steps")
@@ -284,7 +294,7 @@ class GraphProcessor(fnn.Module):
             x = x.astype(self.dtype)
             e = e.astype(self.dtype)
         scale0 = jnp.ones((), x.dtype)
-        (x, e, scale, _), _ = scan((x, e, scale0, gs), None)
+        (x, e, scale), _ = scan((x, e, scale0), gs)
         # reconstruct the reference's doubled edge features (e · 2^steps);
         # DCE'd when callers ignore the edge return
         return x, e * scale

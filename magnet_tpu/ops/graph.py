@@ -279,7 +279,11 @@ def block_graph(
         )
         return BlockedGraph(S, RL, M, RG_flat, degree, n_pad, SID, SL)
 
-    order = np.argsort(receivers, kind="stable")
+    # primary key: receiver tile (slot packing); secondary: sender id —
+    # edge order within a tile is free (the one-hot aggregation handles
+    # any order), and sender-ascending order makes the XLA sender-gather
+    # DMAs near-sequential
+    order = np.lexsort((senders, receivers // tile_n))
     s = senders[order]
     r = receivers[order]
     tile_of = r // tile_n

@@ -181,11 +181,18 @@ blocked_segment_sum.defvjp(_fwd, _bwd)
 _FUSED_CHUNK_ENV = os.environ.get("MAGNET_TPU_FUSED_CHUNK")
 
 
-def _fused_e_chunk(e: int, dtype=None) -> int:
+def _fused_e_chunk(e: int, dtype=None, h: int = 128) -> int:
     if _FUSED_CHUNK_ENV:
         cap = int(_FUSED_CHUNK_ENV)
     else:
         cap = 2048 if dtype == jnp.bfloat16 else 4096
+        # scoped-VMEM guard: the limit is 16 MB on v5e and the bwd kernel
+        # keeps ~8 live (chunk, max(tile_n, H)) f32 buffers (activations,
+        # one-hots, double buffering).  Without this, e.g. H=32 with
+        # E_TILE=4096 requests a 20.9 MB scoped allocation and the
+        # compile fails.
+        vmem_cap = (12 * 1024 * 1024) // (max(TILE_N, h) * 4 * 8)
+        cap = min(cap, max(128, (vmem_cap // 128) * 128))
     if e <= cap:
         return e
     k = e // 128
@@ -256,7 +263,7 @@ def _fused_fwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
     tile_n = pxi.shape[1]
     L1 = w_rest.shape[0]
     C = w_out.shape[1]
-    chunk = _fused_e_chunk(E, h0.dtype)
+    chunk = _fused_e_chunk(E, h0.dtype, H)
     n_chunks = E // chunk
     recv3 = recv_local.reshape(T, 1, E)
     mask3 = mask.reshape(T, 1, E)
@@ -342,7 +349,7 @@ def _fused_bwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
     tile_n = pxi.shape[1]
     L1 = w_rest.shape[0]
     C = w_out.shape[1]
-    chunk = _fused_e_chunk(E, h0.dtype)
+    chunk = _fused_e_chunk(E, h0.dtype, H)
     n_chunks = E // chunk
     recv3 = recv_local.reshape(T, 1, E)
     mask3 = mask.reshape(T, 1, E)
@@ -619,7 +626,7 @@ def _mpnn_fwd_pallas(h0, precv, w, b, recv_local, mask):
 
     T, E, H = h0.shape
     tile_n = precv.shape[1]
-    chunk = _fused_e_chunk(E, h0.dtype)
+    chunk = _fused_e_chunk(E, h0.dtype, H)
     n_chunks = E // chunk
     recv3 = recv_local.reshape(T, 1, E)
     mask3 = mask.reshape(T, 1, E)
@@ -683,7 +690,7 @@ def _mpnn_bwd_pallas(h0, precv, w, b, recv_local, mask, g):
 
     T, E, H = h0.shape
     tile_n = precv.shape[1]
-    chunk = _fused_e_chunk(E, h0.dtype)
+    chunk = _fused_e_chunk(E, h0.dtype, H)
     n_chunks = E // chunk
     recv3 = recv_local.reshape(T, 1, E)
     mask3 = mask.reshape(T, 1, E)

@@ -167,11 +167,14 @@ void mt_knn(const double* x, int nx, const double* y, int ny, int d, int k,
 // Tile-blocked edge packing (the host side of ops/pallas_kernels.py's MXU
 // aggregation; mirrors the numpy reference in ops/graph.py:block_graph).
 //
-// Receiver-side layout: edges stable-sorted by receiver, packed into
-// per-node-tile buckets of e_tile slots.  Sender-side transpose layout:
-// real flat slots stable-sorted by sender tile (for scatter-free gather
-// VJPs).  Both are O(E) counting sorts — tile-size policy (e_tile rounding,
-// skew guard) stays in Python, which passes the final sizes in.
+// Receiver-side layout: edges stable-sorted by (receiver tile, sender id),
+// packed into per-node-tile buckets of e_tile slots.  Sender-ascending
+// order within a tile makes the device-side sender-row gather DMAs
+// near-sequential; the one-hot aggregation is order-agnostic, matching
+// numpy's np.lexsort((senders, receivers // tile_n)).  Sender-side
+// transpose layout: real flat slots stable-sorted by sender tile (for
+// scatter-free gather VJPs).  All O(E) counting sorts — tile-size policy
+// (e_tile rounding, skew guard) stays in Python, which passes sizes in.
 //
 // Caller pre-fills outputs: S/RL/RG/M/degree/SL zeroed, SID filled with the
 // dummy one-past-the-end id (n_tiles * e_tile).
@@ -181,22 +184,28 @@ extern "C" void mt_block_graph(
     int32_t e_tile, int32_t e_tile_s, int build_snd,
     int32_t* S, int32_t* RL, float* M, int32_t* RG, float* degree,
     int32_t* SID, int32_t* SL) {
-    // per-receiver counts -> degree + stable counting-sort cursors
-    std::vector<int64_t> cur(n_node + 1, 0);
-    for (int64_t i = 0; i < e; ++i) cur[receivers[i] + 1]++;
-    for (int32_t r = 0; r < n_node; ++r) degree[r] = (float)cur[r + 1];
-    for (int32_t r = 0; r < n_node; ++r) cur[r + 1] += cur[r];
-    // start of each node tile in the receiver-sorted order
-    std::vector<int64_t> tile_start(n_tiles + 1, e);
-    for (int32_t t = 0; t < n_tiles; ++t) {
-        int32_t r0 = t * tile_n;
-        tile_start[t] = cur[r0 < n_node ? r0 : n_node];
-    }
-    for (int64_t i = 0; i < e; ++i) {
+    // degree = per-receiver-node counts
+    for (int64_t i = 0; i < e; ++i) degree[receivers[i]] += 1.0f;
+    // stage 1: stable counting sort of edge ids by sender node id
+    std::vector<int64_t> scur(n_node + 1, 0);
+    for (int64_t i = 0; i < e; ++i) scur[senders[i] + 1]++;
+    for (int32_t s = 0; s < n_node; ++s) scur[s + 1] += scur[s];
+    std::vector<int64_t> order_s(e);
+    for (int64_t i = 0; i < e; ++i) order_s[scur[senders[i]]++] = i;
+    // stage 2: stable counting sort by receiver tile over the
+    // sender-sorted order -> within-tile slots ascend by sender id
+    std::vector<int64_t> tcur(n_tiles + 1, 0);
+    for (int64_t i = 0; i < e; ++i) tcur[receivers[i] / tile_n + 1]++;
+    for (int32_t t = 0; t < n_tiles; ++t) tcur[t + 1] += tcur[t];
+    std::vector<int64_t> tile_count(n_tiles, 0);
+    for (int32_t t = 0; t < n_tiles; ++t)
+        tile_count[t] = tcur[t + 1] - tcur[t];
+    std::vector<int64_t> slot(n_tiles, 0);
+    for (int64_t k = 0; k < e; ++k) {
+        int64_t i = order_s[k];
         int32_t r = receivers[i];
-        int64_t p = cur[r]++;  // position in receiver-sorted order (stable)
         int32_t t = r / tile_n;
-        int64_t idx = (int64_t)t * e_tile + (p - tile_start[t]);
+        int64_t idx = (int64_t)t * e_tile + slot[t]++;
         S[idx] = senders[i];
         RL[idx] = r - t * tile_n;
         RG[idx] = r;
@@ -204,15 +213,15 @@ extern "C" void mt_block_graph(
     }
     if (!build_snd) return;
     // sender-tile stable counting sort over real flat slots, iterated in
-    // flat order (== receiver-sorted order, matching numpy's stable argsort)
+    // flat order (matching numpy's stable argsort over the flat arrays)
     std::vector<int64_t> ss(n_tiles + 1, 0);
     for (int64_t i = 0; i < e; ++i) ss[senders[i] / tile_n + 1]++;
     for (int32_t t = 0; t < n_tiles; ++t) ss[t + 1] += ss[t];
     std::vector<int64_t> s_start(ss.begin(), ss.end() - 1);
     for (int32_t t = 0; t < n_tiles; ++t) {
-        int64_t cnt = tile_start[t + 1] - tile_start[t];
-        for (int64_t slot = 0; slot < cnt; ++slot) {
-            int64_t flat = (int64_t)t * e_tile + slot;
+        int64_t cnt = tile_count[t];
+        for (int64_t sl = 0; sl < cnt; ++sl) {
+            int64_t flat = (int64_t)t * e_tile + sl;
             int32_t s = S[flat];
             int32_t st = s / tile_n;
             int64_t sidx = (int64_t)st * e_tile_s + (ss[st]++ - s_start[st]);

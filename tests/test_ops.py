@@ -179,8 +179,9 @@ def test_blocked_aggregation_matches_table():
     bg = block_graph(s, t, n)
     msgs_raw = rng.normal(size=(len(s), 7)).astype(np.float32)
 
-    # blocked-order messages: block_graph sorts edges by receiver
-    order = np.argsort(t, kind="stable")
+    # blocked-order messages: block_graph sorts edges by
+    # (receiver tile, sender id) — sender-ascending within each tile
+    order = np.lexsort((s, t // 128))
     e_flat = bg.senders.size
     msgs_blk = np.zeros((e_flat, 7), np.float32)
     # reconstruct packing: edges fill each tile bucket in sorted order
