@@ -46,6 +46,15 @@ def main():
 
     rng = np.random.default_rng(0)
     coords = rng.uniform(-1, 1, (B, N, 2)).astype(np.float32)
+    # Hilbert-order the nodes (host preprocessing; graph nets are
+    # permutation-equivariant) — concentrates each tile's neighbors into
+    # few sender tiles, enabling the in-kernel sender gather
+    # (ops/pallas_kernels.py:fused_edge_tail_agg2).  BENCH_NO_MORTON=1
+    # benchmarks the unordered layout.
+    if not os.environ.get("BENCH_NO_MORTON"):
+        from magnet_tpu.ops.graph import morton_order
+
+        coords = np.stack([c[morton_order(c)] for c in coords])
     # radius for ~20 avg degree before the 32 cap: pi r^2 / 4 * N = 20
     r = float(np.sqrt(20 * 4 / (np.pi * N)))
     graph = build_radius_graph_batch(coords, r, loop=True)

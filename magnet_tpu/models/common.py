@@ -37,6 +37,10 @@ class Graph(NamedTuple):
     degree: jnp.ndarray | None = None
     blk_snd_edge_ids: jnp.ndarray | None = None   # (B, T, E_TILE_S)
     blk_snd_local: jnp.ndarray | None = None      # (B, T, E_TILE_S)
+    # sender-TILE layout for the in-kernel sender gather
+    # (ops/pallas_kernels.py:fused_edge_tail_agg2)
+    blk_snd2_tids: jnp.ndarray | None = None      # (B, T, nc, K) int32
+    blk_snd2_local: jnp.ndarray | None = None     # (B, T, E_TILE) int32
 
     @staticmethod
     def from_padded(g: hostgraph.PaddedGraph) -> "Graph":
@@ -191,11 +195,37 @@ def build_radius_graph_batch(
             jnp.asarray(np.stack([g.snd_local for g in blocked]))
             if has_snd else None
         ),
+        **_snd2_fields(blocked, key),
     )
     if len(_GRAPH_CACHE) >= _GRAPH_CACHE_MAX:
         _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
     _GRAPH_CACHE[ckey] = out
     return out
+
+
+def _snd2_fields(blocked, key):
+    """Batch the sender-tile layout (in-kernel sender gather); K is the
+    sticky batch max so the compiled kernel is stable across batches.
+    The transpose layout (snd_edge_ids) is required too — the fused2
+    backward reduces d_pxj through it."""
+    if not all(g.snd2_tids is not None and g.snd_edge_ids is not None
+               for g in blocked):
+        return {}
+    kmax = max(g.snd2_k for g in blocked)
+    rkey = key + ("snd2",)
+    kmax = max(kmax, _E_TILE_CACHE.get(rkey, 0))
+    _E_TILE_CACHE[rkey] = kmax
+
+    def padk(t):
+        return np.pad(t, ((0, 0), (0, 0), (0, kmax - t.shape[2])),
+                      constant_values=-1)
+
+    return dict(
+        blk_snd2_tids=jnp.asarray(
+            np.stack([padk(g.snd2_tids) for g in blocked])),
+        blk_snd2_local=jnp.asarray(
+            np.stack([g.snd2_local for g in blocked])),
+    )
 
 
 def time_windows(t: jnp.ndarray, n_windows: int, slice_len: int) -> jnp.ndarray:

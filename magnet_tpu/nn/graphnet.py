@@ -180,35 +180,62 @@ class InteractionNetwork(fnn.Module):
         s = jnp.asarray(e_scale, pe.dtype)
         return s * pe + (1 - s) * b
 
+    # VMEM budget for the fused2 resident node table (p_xj + padding)
+    _FUSED2_TABLE_BYTES = 5 * 2**20
+
+    def _use_fused2(self, gs, n_pad, hdim) -> bool:
+        import os
+
+        if gs.blk_snd2_tids is None or gs.blk_snd_edge_ids is None:
+            return False
+        if os.environ.get("MAGNET_TPU_NO_FUSED2"):
+            return False
+        bpe = 2 if self.dtype == jnp.bfloat16 else 4
+        return n_pad * hdim * bpe <= self._FUSED2_TABLE_BYTES
+
     def _call_fused(self, x, e, gs, e_scale=None):
-        from magnet_tpu.ops.pallas_kernels import fused_edge_tail_agg
+        from magnet_tpu.ops.pallas_kernels import (
+            fused_edge_tail_agg,
+            fused_edge_tail_agg2,
+        )
 
         p_xi = self.e_w_xi(x)                                    # (N, H)
         p_xj = self.e_w_xj(x)                                    # (N, H)
-        # NOTE (profiled, v5e): the sender gather is the single largest
-        # non-kernel cost (~1.2-1.5 ms per mp step at bench shapes; bf16
-        # rows are 256 B DMAs).  Forcing an f32 gather via casts +
-        # optimization_barrier was tried and made things WORSE (-6%): the
-        # barrier blocks surrounding fusions.  The structural fix is the
-        # in-kernel sender-tile one-hot gather (ROADMAP).
-        gathered = gather_nodes(p_xj, gs, "sender")
-        h0 = gathered + self._project_edges(e, e_scale)          # (E, H)
+        pe = self._project_edges(e, e_scale)                     # (E, H)
         t, et = gs.blk_recv_local.shape
         tile_n = 128
         n_pad = t * tile_n
         n = x.shape[0]
-        hdim = h0.shape[-1]
+        hdim = pe.shape[-1]
         pxi_pad = jnp.pad(p_xi, ((0, n_pad - n), (0, 0)))
         wr, br, wo, bo = self.w_rest, self.b_rest, self.w_out, self.b_out
         if self.dtype is not None:
             wr, br, wo, bo = (a.astype(self.dtype) for a in (wr, br, wo, bo))
-        agg_sum = fused_edge_tail_agg(
-            h0.reshape(t, et, hdim),
-            pxi_pad.reshape(t, tile_n, hdim),
-            wr, br, wo, bo,
-            self.ln_scale, self.ln_bias,
-            gs.blk_recv_local, gs.edge_mask.reshape(t, et),
-        )
+        if self._use_fused2(gs, n_pad, hdim):
+            # in-kernel sender gather: p_xj stays a VMEM-resident table,
+            # the (E, H) gathered array never exists in HBM (the XLA
+            # gather was the largest non-kernel cost — profile_bench.py)
+            pxj_pad = jnp.pad(p_xj, ((0, n_pad - n), (0, 0)))
+            agg_sum = fused_edge_tail_agg2(
+                pe.reshape(t, et, hdim),
+                pxj_pad,
+                pxi_pad.reshape(t, tile_n, hdim),
+                wr, br, wo, bo,
+                self.ln_scale, self.ln_bias,
+                gs.blk_snd2_tids, gs.blk_snd2_local,
+                gs.blk_recv_local, gs.edge_mask.reshape(t, et),
+                gs.blk_snd_edge_ids, gs.blk_snd_local,
+            )
+        else:
+            gathered = gather_nodes(p_xj, gs, "sender")
+            h0 = gathered + pe                                   # (E, H)
+            agg_sum = fused_edge_tail_agg(
+                h0.reshape(t, et, hdim),
+                pxi_pad.reshape(t, tile_n, hdim),
+                wr, br, wo, bo,
+                self.ln_scale, self.ln_bias,
+                gs.blk_recv_local, gs.edge_mask.reshape(t, et),
+            )
         agg = agg_sum.reshape(n_pad, -1)[:n] / jnp.maximum(gs.degree, 1.0)
         upd = self.node_fn(jnp.concatenate([agg.astype(x.dtype), x], axis=-1))
         return x + upd, (e if e_scale is not None else e + e)

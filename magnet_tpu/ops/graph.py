@@ -219,6 +219,15 @@ class BlockedGraph:
     snd_edge_ids: (T, E_TILE_S) int32 ids into the FLAT blocked edge array
                   (pad -> T*E_TILE, a dummy one-past-the-end row).
     snd_local:    (T, E_TILE_S) int32 sender index within the tile.
+
+    Sender-TILE layout for the in-kernel sender gather (edges within a
+    tile ascend by sender id, so each ``chunk2``-sized edge chunk draws
+    its senders from at most ``snd2_k`` distinct node tiles):
+    snd2_tids:  (T, E_TILE // chunk2, K) int32 sender tile ids (pad -1).
+    snd2_local: (T, E_TILE) int32 = slot*tile_n + within-tile offset
+                (-1 on padded slots; the kernel's one-hot then selects
+                nothing and the edge is masked downstream).
+    snd2_k:     int, the static K.
     """
 
     senders: np.ndarray
@@ -229,10 +238,69 @@ class BlockedGraph:
     n_node_pad: int
     snd_edge_ids: np.ndarray | None = None
     snd_local: np.ndarray | None = None
+    snd2_tids: np.ndarray | None = None
+    snd2_local: np.ndarray | None = None
+    snd2_k: int | None = None
 
     @property
     def tile_n(self) -> int:
         return self.n_node_pad // self.senders.shape[0]
+
+
+SND2_K_CAP = 8  # max distinct sender tiles per edge chunk
+
+
+def _chunk2_of(e_tile: int, cap: int = 2048) -> int:
+    """Largest 128-multiple divisor of e_tile that is <= cap (the edge
+    chunk the in-kernel sender-gather path will use)."""
+    if e_tile <= cap:
+        return e_tile
+    k = e_tile // 128
+    for m in range(cap // 128, 0, -1):
+        if k % m == 0:
+            return 128 * m
+    return 128
+
+
+def _snd2_layout(S, M, tile_n):
+    """Sender-tile metadata for the in-kernel gather: per chunk2-sized
+    edge chunk, the (<= SND2_K_CAP) distinct sender tile ids and the
+    per-edge slot*tile_n+offset index.  Returns (tids, sl2, k) or
+    (None, None, None) when any chunk references more than SND2_K_CAP
+    tiles (caller falls back to the XLA-gather path).  Hilbert/Morton
+    node ordering (morton_order) keeps K small on irregular meshes."""
+    T, e_tile = S.shape
+    chunk2 = _chunk2_of(e_tile)
+    nc = e_tile // chunk2
+    counts = M.reshape(T, e_tile).sum(axis=1).astype(np.int64)
+    tiles_per_cell = []
+    kmax = 0
+    for t in range(T):
+        row = []
+        for c in range(nc):
+            j0 = c * chunk2
+            j1 = min((c + 1) * chunk2, int(counts[t]))
+            u = (np.unique(S[t, j0:j1] // tile_n)
+                 if j1 > j0 else np.zeros(0, np.int64))
+            row.append(u)
+            kmax = max(kmax, len(u))
+        tiles_per_cell.append(row)
+    if kmax == 0 or kmax > SND2_K_CAP:
+        return None, None, None
+    tids = np.full((T, nc, kmax), -1, np.int32)
+    sl2 = np.full((T, e_tile), -1, np.int32)
+    for t in range(T):
+        for c in range(nc):
+            u = tiles_per_cell[t][c]
+            if not len(u):
+                continue
+            tids[t, c, : len(u)] = u
+            j0 = c * chunk2
+            j1 = min((c + 1) * chunk2, int(counts[t]))
+            s_seg = S[t, j0:j1]
+            slot = np.searchsorted(u, s_seg // tile_n)
+            sl2[t, j0:j1] = slot * tile_n + s_seg % tile_n
+    return tids, sl2, kmax
 
 
 def block_graph(
@@ -277,7 +345,9 @@ def block_graph(
             senders, receivers, n_node, tile_n, n_tiles,
             e_tile, e_tile_s or 1, build_snd,
         )
-        return BlockedGraph(S, RL, M, RG_flat, degree, n_pad, SID, SL)
+        tids2, sl2, k2 = _snd2_layout(S, M, tile_n)
+        return BlockedGraph(S, RL, M, RG_flat, degree, n_pad, SID, SL,
+                            tids2, sl2, k2)
 
     # primary key: receiver tile (slot packing); secondary: sender id —
     # edge order within a tile is free (the one-hot aggregation handles
@@ -304,8 +374,10 @@ def block_graph(
         M[tile_of, slot] = 1.0
     degree = np.bincount(receivers, minlength=n_node).astype(np.float32)[:, None]
 
+    tids2, sl2, k2 = _snd2_layout(S, M, tile_n)
     if not build_snd:
-        return BlockedGraph(S, RL, M, RG.reshape(-1), degree, n_pad, None, None)
+        return BlockedGraph(S, RL, M, RG.reshape(-1), degree, n_pad, None,
+                            None, tids2, sl2, k2)
 
     # sender-side transpose blocking over the FLAT blocked edge array
     flat_s = S.reshape(-1)
@@ -322,7 +394,8 @@ def block_graph(
     # receivers).  When the transpose buckets would be mostly padding, skip
     # the sender-blocked layout — gather VJPs fall back to plain take.
     if e_tile_s > max(4 * e_tile, 4096):
-        return BlockedGraph(S, RL, M, RG.reshape(-1), degree, n_pad, None, None)
+        return BlockedGraph(S, RL, M, RG.reshape(-1), degree, n_pad, None,
+                            None, tids2, sl2, k2)
     assert (s_counts.max() if len(real) else 0) <= e_tile_s
     SID = np.full((n_tiles, e_tile_s), n_tiles * e_tile, np.int32)
     SL = np.zeros((n_tiles, e_tile_s), np.int32)
@@ -334,4 +407,70 @@ def block_graph(
         s_slot = np.arange(len(s_order)) - s_starts[so_tiles]
         SID[so_tiles, s_slot] = s_order
         SL[so_tiles, s_slot] = flat_s[s_order] - so_tiles * tile_n
-    return BlockedGraph(S, RL, M, RG.reshape(-1), degree, n_pad, SID, SL)
+    return BlockedGraph(S, RL, M, RG.reshape(-1), degree, n_pad, SID, SL,
+                        tids2, sl2, k2)
+
+
+def morton_order(coords: np.ndarray) -> np.ndarray:
+    """Spatial (Morton/Z-curve) node ordering: argsort of interleaved
+    16-bit quantized coordinates.  Graph networks are permutation-
+    equivariant, so reordering nodes (with their per-node features) is a
+    pure preprocessing step — it concentrates each node tile's neighbors
+    into a small contiguous id range, which shrinks the sender windows of
+    the in-kernel gather layout (``snd2``) and makes gather DMAs local.
+
+    coords: (N, D) with D in {1, 2, 3}.  Returns perm (N,) int64 such
+    that ``coords[perm]`` is Morton-ordered."""
+    c = np.asarray(coords, np.float64)
+    lo = c.min(0)
+    span = np.maximum(c.max(0) - lo, 1e-12)
+    q = ((c - lo) / span * 65535.0).astype(np.uint64)
+
+    def spread2(x):
+        x = (x | (x << 8)) & np.uint64(0x00FF00FF00FF00FF)
+        x = (x | (x << 4)) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x | (x << 2)) & np.uint64(0x3333333333333333)
+        x = (x | (x << 1)) & np.uint64(0x5555555555555555)
+        return x
+
+    def spread3(x):
+        x = (x | (x << 32)) & np.uint64(0x1F00000000FFFF)
+        x = (x | (x << 16)) & np.uint64(0x1F0000FF0000FF)
+        x = (x | (x << 8)) & np.uint64(0x100F00F00F00F00F)
+        x = (x | (x << 4)) & np.uint64(0x10C30C30C30C30C3)
+        x = (x | (x << 2)) & np.uint64(0x1249249249249249)
+        return x
+
+    d = c.shape[1]
+    if d == 1:
+        key = q[:, 0]
+    elif d == 2:
+        # Hilbert curve: unlike the Z-curve it has no long jumps, so the
+        # MAX sender-window span stays small (the snd2 layout gates on
+        # the max over chunks — one Z-jump outlier disables it)
+        key = _hilbert_index_2d(q[:, 0], q[:, 1], order=16)
+    else:
+        key = (spread3(q[:, 0]) | (spread3(q[:, 1]) << np.uint64(1))
+               | (spread3(q[:, 2]) << np.uint64(2)))
+    return np.argsort(key, kind="stable")
+
+
+def _hilbert_index_2d(x: np.ndarray, y: np.ndarray, order: int = 16
+                      ) -> np.ndarray:
+    """Vectorized 2D Hilbert curve index for ``order``-bit coordinates."""
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = np.int64(1) << (order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        x, y = np.where(swap, y_f, x_f), np.where(swap, x_f, y_f)
+        s >>= 1
+    return d

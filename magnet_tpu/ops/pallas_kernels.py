@@ -276,35 +276,40 @@ def _fused_fwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
 
     dt = h0.dtype  # compute dtype: bf16 operands double MXU rate; all
     #                accumulation and the LayerNorm stay f32
+    # dead-chunk skip: E_TILE is the batch-max in-degree bucket, so
+    # low-degree tiles carry fully-padded edge chunks (up to ~20% with
+    # Hilbert node ordering) — an SMEM occupancy flag gates all compute
+    alive = (jnp.sum(mask.reshape(T, n_chunks, chunk), axis=-1) > 0
+             ).astype(jnp.int32)
 
     def kernel(h0_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref, ls_ref,
-               lb_ref, recv_ref, mask_ref, out_ref):
+               lb_ref, recv_ref, mask_ref, alive_ref, out_ref):
+        t = pl.program_id(0)
         ec = pl.program_id(1)
-        recv = recv_ref[0, 0]                               # (chunk,)
-        m = mask_ref[0, 0]
-        cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
-        oh_g = (cols == recv[:, None]).astype(dt)           # (chunk, tile_n)
-        gath = _dot(oh_g, pxi_ref[0])                       # (chunk, H) f32
-        h = jax.nn.relu(h0_ref[0] + gath).astype(dt)
-        for k in range(L1):
-            h = jax.nn.relu(_dot(h, wr_ref[k])
-                            + br_ref[k][None, :]).astype(dt)
-        y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
-        mu = jnp.mean(y, axis=-1, keepdims=True)
-        var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
-        y = (y - mu) * jax.lax.rsqrt(var + LN_EPS) * ls_ref[0][None, :] \
-            + lb_ref[0][None, :]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
-        oh_a = (rows == recv[None, :]).astype(dt) * m[None, :].astype(dt)
-        part = _dot(oh_a, y.astype(dt))                     # (tile_n, C)
 
         @pl.when(ec == 0)
         def _():
-            out_ref[0] = part
+            out_ref[0] = jnp.zeros((tile_n, C), jnp.float32)
 
-        @pl.when(ec != 0)
+        @pl.when(alive_ref[t, ec] > 0)
         def _():
-            out_ref[0] = out_ref[0] + part
+            recv = recv_ref[0, 0]                           # (chunk,)
+            m = mask_ref[0, 0]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
+            oh_g = (cols == recv[:, None]).astype(dt)       # (chunk, tile_n)
+            gath = _dot(oh_g, pxi_ref[0])                   # (chunk, H) f32
+            h = jax.nn.relu(h0_ref[0] + gath).astype(dt)
+            for k in range(L1):
+                h = jax.nn.relu(_dot(h, wr_ref[k])
+                                + br_ref[k][None, :]).astype(dt)
+            y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+            y = (y - mu) * jax.lax.rsqrt(var + LN_EPS) * ls_ref[0][None, :] \
+                + lb_ref[0][None, :]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
+            oh_a = (rows == recv[None, :]).astype(dt) * m[None, :].astype(dt)
+            out_ref[0] = out_ref[0] + _dot(oh_a, y.astype(dt))
 
     full = lambda *shape: pl.BlockSpec(shape, lambda t, ec: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
@@ -328,6 +333,8 @@ def _fused_fwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, chunk), lambda t, ec: (t, 0, ec),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, n_chunks), lambda t, ec: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, tile_n, C), lambda t, ec: (t, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -337,7 +344,8 @@ def _fused_fwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
             bytes_accessed=4 * (T * E * H + T * tile_n * (H + C)),
             transcendentals=0,
         ),
-    )(h0, pxi, w_rest, b_rest, w_out, b_out2, ln_s2, ln_b2, recv3, mask3)
+    )(h0, pxi, w_rest, b_rest, w_out, b_out2, ln_s2, ln_b2, recv3, mask3,
+      alive)
 
 
 def _fused_bwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
@@ -371,87 +379,89 @@ def _fused_bwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
             preferred_element_type=jnp.float32,
         )
 
+    alive = (jnp.sum(mask.reshape(T, n_chunks, chunk), axis=-1) > 0
+             ).astype(jnp.int32)  # dead-chunk skip; see _fused_fwd_pallas
+
     def kernel(h0_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref, ls_ref,
-               recv_ref, mask_ref, g_ref,
+               recv_ref, mask_ref, g_ref, alive_ref,
                dh0_ref, dpxi_ref, dwr_ref, dbr_ref, dwo_ref, dbo_ref,
                dls_ref, dlb_ref):
         t = pl.program_id(0)
         ec = pl.program_id(1)
-        recv = recv_ref[0, 0]
-        m = mask_ref[0, 0]
-        cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
-        oh_g = (cols == recv[:, None]).astype(dt)
-
-        # --- recompute forward, keeping layer inputs ---
-        gath = _dot(oh_g, pxi_ref[0])
-        h = jax.nn.relu(h0_ref[0] + gath).astype(dt)
-        hs = [h]                                    # inputs to rest layers
-        for k in range(L1):
-            h = jax.nn.relu(_dot(h, wr_ref[k])
-                            + br_ref[k][None, :]).astype(dt)
-            hs.append(h)
-        y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
-        mu = jnp.mean(y, axis=-1, keepdims=True)
-        var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
-        inv = jax.lax.rsqrt(var + LN_EPS)
-        xhat = (y - mu) * inv
-
-        # --- backward (element-wise math f32; dot operands in dt) ---
-        d_out = _dot(oh_g, g_ref[0].astype(dt)) * m[:, None]  # (chunk, C) f32
-        dls = jnp.sum(d_out * xhat, axis=0, keepdims=True)
-        dlb = jnp.sum(d_out, axis=0, keepdims=True)
-        d_xhat = d_out * ls_ref[0][None, :]
-        d_y = inv * (
-            d_xhat
-            - jnp.mean(d_xhat, axis=-1, keepdims=True)
-            - xhat * jnp.mean(d_xhat * xhat, axis=-1, keepdims=True)
-        )
-        d_yc = d_y.astype(dt)
-        dwo = _dot_t(hs[L1], d_yc)                  # (H, C)
-        dbo = jnp.sum(d_y, axis=0, keepdims=True)
-        d_h = _dot_rt(d_yc, wo_ref[:])              # d_y @ W_out^T
-        dwr_list = []
-        dbr_list = []
-        for k in range(L1 - 1, -1, -1):
-            # relu mask in f32 — Mosaic has no bf16 cmpf lowering
-            d_h = d_h * (hs[k + 1].astype(jnp.float32) > 0)
-            dwr_list.append(_dot_t(hs[k], d_h.astype(dt)))
-            dbr_list.append(jnp.sum(d_h, axis=0))
-            d_h = _dot_rt(d_h.astype(dt), wr_ref[k])
-        d_h = d_h * (hs[0].astype(jnp.float32) > 0)
-        dh0_ref[0] = d_h
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
-        oh_a = (rows == recv[None, :]).astype(dt)
-        dpxi_part = _dot(oh_a, d_h.astype(dt))
-
         first = jnp.logical_and(t == 0, ec == 0)
-
-        @pl.when(ec == 0)
-        def _():
-            dpxi_ref[0] = dpxi_part
-
-        @pl.when(ec != 0)
-        def _():
-            dpxi_ref[0] = dpxi_ref[0] + dpxi_part
-
-        if L1:
-            dwr_new = jnp.stack(dwr_list[::-1])
-            dbr_new = jnp.stack(dbr_list[::-1])
-        else:
-            dwr_new = jnp.zeros((1, H, H), jnp.float32)
-            dbr_new = jnp.zeros((1, H), jnp.float32)
 
         @pl.when(first)
         def _():
-            dwr_ref[...] = dwr_new
-            dbr_ref[...] = dbr_new
-            dwo_ref[...] = dwo
-            dbo_ref[...] = dbo
-            dls_ref[...] = dls
-            dlb_ref[...] = dlb
+            dwr_ref[...] = jnp.zeros_like(dwr_ref)
+            dbr_ref[...] = jnp.zeros_like(dbr_ref)
+            dwo_ref[...] = jnp.zeros_like(dwo_ref)
+            dbo_ref[...] = jnp.zeros_like(dbo_ref)
+            dls_ref[...] = jnp.zeros_like(dls_ref)
+            dlb_ref[...] = jnp.zeros_like(dlb_ref)
 
-        @pl.when(jnp.logical_not(first))
+        @pl.when(ec == 0)
         def _():
+            dpxi_ref[0] = jnp.zeros((tile_n, H), jnp.float32)
+
+        @pl.when(alive_ref[t, ec] == 0)
+        def _():
+            dh0_ref[0] = jnp.zeros((chunk, H), jnp.float32)
+
+        @pl.when(alive_ref[t, ec] > 0)
+        def _():
+            recv = recv_ref[0, 0]
+            m = mask_ref[0, 0]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
+            oh_g = (cols == recv[:, None]).astype(dt)
+
+            # --- recompute forward, keeping layer inputs ---
+            gath = _dot(oh_g, pxi_ref[0])
+            h = jax.nn.relu(h0_ref[0] + gath).astype(dt)
+            hs = [h]                                # inputs to rest layers
+            for k in range(L1):
+                h = jax.nn.relu(_dot(h, wr_ref[k])
+                                + br_ref[k][None, :]).astype(dt)
+                hs.append(h)
+            y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+            inv = jax.lax.rsqrt(var + LN_EPS)
+            xhat = (y - mu) * inv
+
+            # --- backward (element-wise math f32; dot operands in dt) ---
+            d_out = _dot(oh_g, g_ref[0].astype(dt)) * m[:, None]  # (chunk, C)
+            dls = jnp.sum(d_out * xhat, axis=0, keepdims=True)
+            dlb = jnp.sum(d_out, axis=0, keepdims=True)
+            d_xhat = d_out * ls_ref[0][None, :]
+            d_y = inv * (
+                d_xhat
+                - jnp.mean(d_xhat, axis=-1, keepdims=True)
+                - xhat * jnp.mean(d_xhat * xhat, axis=-1, keepdims=True)
+            )
+            d_yc = d_y.astype(dt)
+            dwo = _dot_t(hs[L1], d_yc)              # (H, C)
+            dbo = jnp.sum(d_y, axis=0, keepdims=True)
+            d_h = _dot_rt(d_yc, wo_ref[:])          # d_y @ W_out^T
+            dwr_list = []
+            dbr_list = []
+            for k in range(L1 - 1, -1, -1):
+                # relu mask in f32 — Mosaic has no bf16 cmpf lowering
+                d_h = d_h * (hs[k + 1].astype(jnp.float32) > 0)
+                dwr_list.append(_dot_t(hs[k], d_h.astype(dt)))
+                dbr_list.append(jnp.sum(d_h, axis=0))
+                d_h = _dot_rt(d_h.astype(dt), wr_ref[k])
+            d_h = d_h * (hs[0].astype(jnp.float32) > 0)
+            dh0_ref[0] = d_h
+            rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
+            oh_a = (rows == recv[None, :]).astype(dt)
+            dpxi_ref[0] = dpxi_ref[0] + _dot(oh_a, d_h.astype(dt))
+
+            if L1:
+                dwr_new = jnp.stack(dwr_list[::-1])
+                dbr_new = jnp.stack(dbr_list[::-1])
+            else:
+                dwr_new = jnp.zeros((1, H, H), jnp.float32)
+                dbr_new = jnp.zeros((1, H), jnp.float32)
             dwr_ref[...] = dwr_ref[...] + dwr_new
             dbr_ref[...] = dbr_ref[...] + dbr_new
             dwo_ref[...] = dwo_ref[...] + dwo
@@ -505,6 +515,8 @@ def _fused_bwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n, C), lambda t, ec: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, n_chunks), lambda t, ec: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=out_specs,
         out_shape=outs,
@@ -513,7 +525,7 @@ def _fused_bwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
             bytes_accessed=4 * (2 * T * E * H + T * tile_n * (2 * H + 2 * C)),
             transcendentals=0,
         ),
-    )(h0, pxi, w_rest, b_rest, w_out, b_out2, ln_s2, recv3, mask3, g)
+    )(h0, pxi, w_rest, b_rest, w_out, b_out2, ln_s2, recv3, mask3, g, alive)
     if not L1:
         dwr = jnp.zeros((0, H, H), jnp.float32)
         dbr = jnp.zeros((0, H), jnp.float32)
@@ -633,27 +645,30 @@ def _mpnn_fwd_pallas(h0, precv, w, b, recv_local, mask):
     b2 = b.reshape(1, H)
 
     dt = h0.dtype  # compute dtype; see _fused_fwd_pallas
+    alive = (jnp.sum(mask.reshape(T, n_chunks, chunk), axis=-1) > 0
+             ).astype(jnp.int32)  # dead-chunk skip; see _fused_fwd_pallas
 
-    def kernel(h0_ref, pr_ref, w_ref, b_ref, recv_ref, mask_ref, out_ref):
+    def kernel(h0_ref, pr_ref, w_ref, b_ref, recv_ref, mask_ref, alive_ref,
+               out_ref):
+        t = pl.program_id(0)
         ec = pl.program_id(1)
-        recv = recv_ref[0, 0]
-        m = mask_ref[0, 0]
-        cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
-        oh_g = (cols == recv[:, None]).astype(dt)
-        gath = _dot(oh_g, pr_ref[0])
-        h1 = _swish(h0_ref[0] + gath).astype(dt)
-        h2 = _swish(_dot(h1, w_ref[:]) + b_ref[0][None, :])
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
-        oh_a = (rows == recv[None, :]).astype(dt) * m[None, :].astype(dt)
-        part = _dot(oh_a, h2.astype(dt))
 
         @pl.when(ec == 0)
         def _():
-            out_ref[0] = part
+            out_ref[0] = jnp.zeros((tile_n, H), jnp.float32)
 
-        @pl.when(ec != 0)
+        @pl.when(alive_ref[t, ec] > 0)
         def _():
-            out_ref[0] = out_ref[0] + part
+            recv = recv_ref[0, 0]
+            m = mask_ref[0, 0]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
+            oh_g = (cols == recv[:, None]).astype(dt)
+            gath = _dot(oh_g, pr_ref[0])
+            h1 = _swish(h0_ref[0] + gath).astype(dt)
+            h2 = _swish(_dot(h1, w_ref[:]) + b_ref[0][None, :])
+            rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
+            oh_a = (rows == recv[None, :]).astype(dt) * m[None, :].astype(dt)
+            out_ref[0] = out_ref[0] + _dot(oh_a, h2.astype(dt))
 
     full = lambda *shape: pl.BlockSpec(shape, lambda t, ec: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
@@ -672,6 +687,8 @@ def _mpnn_fwd_pallas(h0, precv, w, b, recv_local, mask):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, chunk), lambda t, ec: (t, 0, ec),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, n_chunks), lambda t, ec: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, tile_n, H), lambda t, ec: (t, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -681,7 +698,7 @@ def _mpnn_fwd_pallas(h0, precv, w, b, recv_local, mask):
             bytes_accessed=4 * (T * E * H + 2 * T * tile_n * H),
             transcendentals=2 * T * E * H,
         ),
-    )(h0, precv, w, b2, recv3, mask3)
+    )(h0, precv, w, b2, recv3, mask3, alive)
 
 
 def _mpnn_bwd_pallas(h0, precv, w, b, recv_local, mask, g):
@@ -697,52 +714,53 @@ def _mpnn_bwd_pallas(h0, precv, w, b, recv_local, mask, g):
     b2 = b.reshape(1, H)
 
     dt = h0.dtype  # compute dtype; see _fused_fwd_pallas
+    alive = (jnp.sum(mask.reshape(T, n_chunks, chunk), axis=-1) > 0
+             ).astype(jnp.int32)  # dead-chunk skip; see _fused_fwd_pallas
 
     def kernel(h0_ref, pr_ref, w_ref, b_ref, recv_ref, mask_ref, g_ref,
-               dh0_ref, dpr_ref, dw_ref, db_ref):
+               alive_ref, dh0_ref, dpr_ref, dw_ref, db_ref):
         t = pl.program_id(0)
         ec = pl.program_id(1)
-        recv = recv_ref[0, 0]
-        m = mask_ref[0, 0]
-        cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
-        oh_g = (cols == recv[:, None]).astype(dt)
-        gath = _dot(oh_g, pr_ref[0])
-        z1 = h0_ref[0] + gath                       # f32
-        h1 = _swish(z1)
-        z2 = _dot(h1.astype(dt), w_ref[:]) + b_ref[0][None, :]
-
-        d_h2 = _dot(oh_g, g_ref[0].astype(dt)) * m[:, None]
-        d_z2 = d_h2 * _dswish(z2)
-        dw = _dot_t(h1.astype(dt), d_z2.astype(dt))
-        db = jnp.sum(d_z2, axis=0, keepdims=True)
-        d_h1 = jax.lax.dot_general(
-            d_z2.astype(dt), w_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        d_z1 = d_h1 * _dswish(z1)
-        dh0_ref[0] = d_z1
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
-        oh_a = (rows == recv[None, :]).astype(dt)
-        dpr_part = _dot(oh_a, d_z1.astype(dt))
-
         first = jnp.logical_and(t == 0, ec == 0)
-
-        @pl.when(ec == 0)
-        def _():
-            dpr_ref[0] = dpr_part
-
-        @pl.when(ec != 0)
-        def _():
-            dpr_ref[0] = dpr_ref[0] + dpr_part
 
         @pl.when(first)
         def _():
-            dw_ref[...] = dw
-            db_ref[...] = db
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
 
-        @pl.when(jnp.logical_not(first))
+        @pl.when(ec == 0)
         def _():
+            dpr_ref[0] = jnp.zeros((tile_n, H), jnp.float32)
+
+        @pl.when(alive_ref[t, ec] == 0)
+        def _():
+            dh0_ref[0] = jnp.zeros((chunk, H), jnp.float32)
+
+        @pl.when(alive_ref[t, ec] > 0)
+        def _():
+            recv = recv_ref[0, 0]
+            m = mask_ref[0, 0]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
+            oh_g = (cols == recv[:, None]).astype(dt)
+            gath = _dot(oh_g, pr_ref[0])
+            z1 = h0_ref[0] + gath                   # f32
+            h1 = _swish(z1)
+            z2 = _dot(h1.astype(dt), w_ref[:]) + b_ref[0][None, :]
+
+            d_h2 = _dot(oh_g, g_ref[0].astype(dt)) * m[:, None]
+            d_z2 = d_h2 * _dswish(z2)
+            dw = _dot_t(h1.astype(dt), d_z2.astype(dt))
+            db = jnp.sum(d_z2, axis=0, keepdims=True)
+            d_h1 = jax.lax.dot_general(
+                d_z2.astype(dt), w_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            d_z1 = d_h1 * _dswish(z1)
+            dh0_ref[0] = d_z1
+            rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
+            oh_a = (rows == recv[None, :]).astype(dt)
+            dpr_ref[0] = dpr_ref[0] + _dot(oh_a, d_z1.astype(dt))
             dw_ref[...] = dw_ref[...] + dw
             db_ref[...] = db_ref[...] + db
 
@@ -765,6 +783,8 @@ def _mpnn_bwd_pallas(h0, precv, w, b, recv_local, mask, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n, H), lambda t, ec: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, n_chunks), lambda t, ec: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, chunk, H), lambda t, ec: (t, ec, 0),
@@ -785,7 +805,7 @@ def _mpnn_bwd_pallas(h0, precv, w, b, recv_local, mask, g):
             bytes_accessed=4 * (2 * T * E * H + 3 * T * tile_n * H),
             transcendentals=4 * T * E * H,
         ),
-    )(h0, precv, w, b2, recv3, mask3, g)
+    )(h0, precv, w, b2, recv3, mask3, g, alive)
     return dh0, dpr, dw, db.reshape(H)
 
 
@@ -824,3 +844,453 @@ def _mpnn_bwd(res, g):
 
 
 fused_mpnn_edge_agg.defvjp(_mpnn_fwd, _mpnn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused edge pipeline v2: the SENDER gather also happens in-kernel.
+#
+# Profiling (benchmarks/profile_bench.py) showed the XLA-side sender-row
+# gather is the single largest non-kernel cost (~1.2-1.5 ms per mp step at
+# bench shapes — sub-512 B row DMAs).  Edges within a receiver tile ascend
+# by sender id (ops/graph.py packer), so each `chunk`-sized edge chunk
+# draws its senders from at most K distinct 128-row node tiles
+# (host-computed `snd2_tids`; with Hilbert-ordered nodes K <= ~6 and the
+# median chunk touches 1).  The kernel keeps the whole projected node
+# table p_xj in VMEM (size-guarded by the caller), slices each referenced
+# tile with pl.ds, and gathers via per-tile (chunk, 128) one-hot matmuls
+# on the MXU, predicated with pl.when so unused tile slots cost nothing —
+# the (E, H) gathered array never exists in HBM.
+#
+# Backward: the kernel recomputes the tail and emits d_z (the cotangent of
+# pe + sender_gather + receiver_gather, one value serves all three), plus
+# d_pxi and weight grads; d_pxj is reduced OUTSIDE via the existing
+# sender-transpose blocking (ops/segment.py machinery).
+# ---------------------------------------------------------------------------
+
+
+def _fused2_ref_impl(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                     ln_s, ln_b, tids, sl2, recv_local, mask):
+    """jnp oracle.  pe (T,E,H); pxj (N_pad,H); pxi (T,tile_n,H);
+    tids (T,nc,K) int32 (pad -1); sl2 (T,E) = slot*128 + local (pad -1);
+    recv_local/mask (T,E) -> (T,tile_n,C) f32."""
+    T, E, H = pe.shape
+    nc, K = tids.shape[1:]
+    chunk = E // nc
+    n_pad = pxj.shape[0]
+    slot = jnp.where(sl2 >= 0, sl2 // 128, 0)
+    local = jnp.where(sl2 >= 0, sl2 % 128, 0)
+    tid_per_edge = jnp.take_along_axis(
+        jnp.repeat(tids, chunk, axis=1).reshape(T, E, K),
+        slot[..., None], axis=2)[..., 0]
+    gidx = jnp.clip(tid_per_edge * 128 + local, 0, n_pad - 1)
+    g0 = jnp.take(pxj, gidx.reshape(-1), axis=0).reshape(T, E, H)
+    g0 = jnp.where((sl2 >= 0)[..., None], g0, 0)
+    gath = jnp.take_along_axis(pxi, recv_local[..., None], axis=1)
+    z = (pe.astype(jnp.float32) + g0.astype(jnp.float32)
+         + gath.astype(jnp.float32)).astype(pe.dtype)
+    y = _tail_ref(z, w_rest, b_rest, w_out, b_out, ln_s, ln_b)
+    tile_n = pxi.shape[1]
+    iota = jnp.arange(tile_n, dtype=recv_local.dtype)
+    onehot = (recv_local[:, None, :] == iota[None, :, None]).astype(y.dtype)
+    onehot = onehot * mask[:, None, :].astype(y.dtype)
+    return jnp.einsum("tne,tec->tnc", onehot, y,
+                      preferred_element_type=jnp.float32)
+
+
+def _fused2_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                       ln_s, ln_b, tids, sl2, recv_local, mask):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, E, H = pe.shape
+    tile_n = pxi.shape[1]
+    L1 = w_rest.shape[0]
+    C = w_out.shape[1]
+    nc, K = tids.shape[1:]
+    chunk = E // nc
+    n_pad = pxj.shape[0]
+    sl3 = sl2.reshape(T, 1, E)
+    recv3 = recv_local.reshape(T, 1, E)
+    mask3 = mask.reshape(T, 1, E)
+    b_out2 = b_out.reshape(1, C)
+    ln_s2 = ln_s.reshape(1, C)
+    ln_b2 = ln_b.reshape(1, C)
+    if not L1:
+        w_rest = jnp.zeros((1, H, H), jnp.float32)
+        b_rest = jnp.zeros((1, H), jnp.float32)
+    dt = pe.dtype
+
+    def gather_g0(pxj_ref, tid_ref, sl, g0_ref, t, ec):
+        """Accumulate the sender gather into g0_ref (scratch), one
+        predicated (chunk, 128) one-hot matmul per referenced tile."""
+        g0_ref[...] = jnp.zeros((chunk, H), jnp.float32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
+        for k in range(K):
+            tid = tid_ref[t, ec, k]
+
+            @pl.when(tid >= 0)
+            def _(k=k, tid=tid):
+                base = pl.multiple_of(tid * 128, 128)
+                win = pxj_ref[pl.ds(base, 128), :]
+                ohk = (cols == (sl - k * 128)[:, None]).astype(dt)
+                g0_ref[...] += _dot(ohk, win.astype(dt))
+
+    def kernel(pe_ref, pxj_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref,
+               ls_ref, lb_ref, tid_ref, sl_ref, recv_ref, mask_ref,
+               out_ref, g0_ref):
+        t = pl.program_id(0)
+        ec = pl.program_id(1)
+
+        @pl.when(ec == 0)
+        def _():
+            out_ref[0] = jnp.zeros((tile_n, C), jnp.float32)
+
+        # fully-padded chunks (no referenced sender tile) are skipped:
+        # E_TILE is the batch-max in-degree bucket, so low-degree tiles
+        # carry dead chunks (up to ~20% with Hilbert node ordering)
+        @pl.when(tid_ref[t, ec, 0] >= 0)
+        def _():
+            sl = sl_ref[0, 0]
+            gather_g0(pxj_ref, tid_ref, sl, g0_ref, t, ec)
+            recv = recv_ref[0, 0]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
+            oh_g = (cols == recv[:, None]).astype(dt)
+            gath = _dot(oh_g, pxi_ref[0])
+            h = jax.nn.relu(pe_ref[0] + g0_ref[...] + gath).astype(dt)
+            for k in range(L1):
+                h = jax.nn.relu(_dot(h, wr_ref[k])
+                                + br_ref[k][None, :]).astype(dt)
+            y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+            y = (y - mu) * jax.lax.rsqrt(var + LN_EPS) \
+                * ls_ref[0][None, :] + lb_ref[0][None, :]
+            m = mask_ref[0, 0]
+            rws = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
+            oh_a = (rws == recv[None, :]).astype(dt) * m[None, :].astype(dt)
+            out_ref[0] = out_ref[0] + _dot(oh_a, y.astype(dt))
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda t, ec: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(T, nc),
+        interpret=bool(os.environ.get("MAGNET_TPU_PALLAS_INTERPRET")),
+        in_specs=[
+            pl.BlockSpec((1, chunk, H), lambda t, ec: (t, ec, 0),
+                         memory_space=pltpu.VMEM),
+            full(n_pad, H),                                  # pxj table
+            pl.BlockSpec((1, tile_n, H), lambda t, ec: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(max(L1, 1), H, H),
+            full(max(L1, 1), H),
+            full(H, C),
+            full(1, C),
+            full(1, C),
+            full(1, C),
+            pl.BlockSpec((T, nc, K), lambda t, ec: (0, 0, 0),
+                         memory_space=pltpu.SMEM),           # tids (whole)
+            pl.BlockSpec((1, 1, chunk), lambda t, ec: (t, 0, ec),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda t, ec: (t, 0, ec),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda t, ec: (t, 0, ec),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, C), lambda t, ec: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, tile_n, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((chunk, H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * E * (K * 128 + tile_n * 2 + L1 * H + C) * H // 2,
+            bytes_accessed=4 * (T * E * H + n_pad * H + T * tile_n * H),
+            transcendentals=0,
+        ),
+    )(pe, pxj, pxi, w_rest, b_rest, w_out, b_out2, ln_s2, ln_b2,
+      tids, sl3, recv3, mask3)
+
+
+def _fused2_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                       ln_s, ln_b, tids, sl2, recv_local, mask, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, E, H = pe.shape
+    tile_n = pxi.shape[1]
+    L1 = w_rest.shape[0]
+    C = w_out.shape[1]
+    nc, K = tids.shape[1:]
+    chunk = E // nc
+    n_pad = pxj.shape[0]
+    sl3 = sl2.reshape(T, 1, E)
+    recv3 = recv_local.reshape(T, 1, E)
+    mask3 = mask.reshape(T, 1, E)
+    b_out2 = b_out.reshape(1, C)
+    ln_s2 = ln_s.reshape(1, C)
+    if not L1:
+        w_rest = jnp.zeros((1, H, H), jnp.float32)
+        b_rest = jnp.zeros((1, H), jnp.float32)
+    dt = pe.dtype
+
+    def _dot_rt(a, b):
+        if a.dtype != b.dtype:
+            wide = jnp.promote_types(a.dtype, b.dtype)
+            a, b = a.astype(wide), b.astype(wide)
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def kernel(pe_ref, pxj_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref,
+               ls_ref, tid_ref, sl_ref, recv_ref, mask_ref, g_ref,
+               dz_ref, dpxi_ref, dwr_ref, dbr_ref, dwo_ref, dbo_ref,
+               dls_ref, dlb_ref, g0_ref):
+        t = pl.program_id(0)
+        ec = pl.program_id(1)
+        first = jnp.logical_and(t == 0, ec == 0)
+
+        # zero-init accumulators and the per-chunk dz output; the alive
+        # branch below overwrites/accumulates
+        @pl.when(first)
+        def _():
+            dwr_ref[...] = jnp.zeros_like(dwr_ref)
+            dbr_ref[...] = jnp.zeros_like(dbr_ref)
+            dwo_ref[...] = jnp.zeros_like(dwo_ref)
+            dbo_ref[...] = jnp.zeros_like(dbo_ref)
+            dls_ref[...] = jnp.zeros_like(dls_ref)
+            dlb_ref[...] = jnp.zeros_like(dlb_ref)
+
+        @pl.when(ec == 0)
+        def _():
+            dpxi_ref[0] = jnp.zeros((tile_n, H), jnp.float32)
+
+        dz_ref[0] = jnp.zeros((chunk, H), jnp.float32)
+
+        @pl.when(tid_ref[t, ec, 0] >= 0)
+        def _():
+            sl = sl_ref[0, 0]
+            # recompute the sender gather (predicated per referenced tile)
+            g0_ref[...] = jnp.zeros((chunk, H), jnp.float32)
+            cols128 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
+            for k in range(K):
+                tid = tid_ref[t, ec, k]
+
+                @pl.when(tid >= 0)
+                def _(k=k, tid=tid):
+                    base = pl.multiple_of(tid * 128, 128)
+                    win = pxj_ref[pl.ds(base, 128), :]
+                    ohk = (cols128 == (sl - k * 128)[:, None]).astype(dt)
+                    g0_ref[...] += _dot(ohk, win.astype(dt))
+
+            recv = recv_ref[0, 0]
+            m = mask_ref[0, 0]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
+            oh_g = (cols == recv[:, None]).astype(dt)
+            gath = _dot(oh_g, pxi_ref[0])
+
+            h = jax.nn.relu(pe_ref[0] + g0_ref[...] + gath).astype(dt)
+            hs = [h]
+            for k in range(L1):
+                h = jax.nn.relu(_dot(h, wr_ref[k])
+                                + br_ref[k][None, :]).astype(dt)
+                hs.append(h)
+            y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+            inv = jax.lax.rsqrt(var + LN_EPS)
+            xhat = (y - mu) * inv
+
+            d_out = _dot(oh_g, g_ref[0].astype(dt)) * m[:, None]
+            dls = jnp.sum(d_out * xhat, axis=0, keepdims=True)
+            dlb = jnp.sum(d_out, axis=0, keepdims=True)
+            d_xhat = d_out * ls_ref[0][None, :]
+            d_y = inv * (
+                d_xhat
+                - jnp.mean(d_xhat, axis=-1, keepdims=True)
+                - xhat * jnp.mean(d_xhat * xhat, axis=-1, keepdims=True)
+            )
+            d_yc = d_y.astype(dt)
+            dwo = _dot_t(hs[L1], d_yc)
+            dbo = jnp.sum(d_y, axis=0, keepdims=True)
+            d_h = _dot_rt(d_yc, wo_ref[:])
+            dwr_list = []
+            dbr_list = []
+            for k in range(L1 - 1, -1, -1):
+                d_h = d_h * (hs[k + 1].astype(jnp.float32) > 0)
+                dwr_list.append(_dot_t(hs[k], d_h.astype(dt)))
+                dbr_list.append(jnp.sum(d_h, axis=0))
+                d_h = _dot_rt(d_h.astype(dt), wr_ref[k])
+            d_h = d_h * (hs[0].astype(jnp.float32) > 0)
+            dz_ref[0] = d_h
+            rws = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
+            oh_a = (rws == recv[None, :]).astype(dt)
+            dpxi_ref[0] = dpxi_ref[0] + _dot(oh_a, d_h.astype(dt))
+
+            if L1:
+                dwr_new = jnp.stack(dwr_list[::-1])
+                dbr_new = jnp.stack(dbr_list[::-1])
+            else:
+                dwr_new = jnp.zeros((1, H, H), jnp.float32)
+                dbr_new = jnp.zeros((1, H), jnp.float32)
+            dwr_ref[...] = dwr_ref[...] + dwr_new
+            dbr_ref[...] = dbr_ref[...] + dbr_new
+            dwo_ref[...] = dwo_ref[...] + dwo
+            dbo_ref[...] = dbo_ref[...] + dbo
+            dls_ref[...] = dls_ref[...] + dls
+            dlb_ref[...] = dlb_ref[...] + dlb
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda t, ec: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    outs = (
+        jax.ShapeDtypeStruct((T, E, H), jnp.float32),        # d_z
+        jax.ShapeDtypeStruct((T, tile_n, H), jnp.float32),   # d_pxi
+        jax.ShapeDtypeStruct((max(L1, 1), H, H), jnp.float32),
+        jax.ShapeDtypeStruct((max(L1, 1), H), jnp.float32),
+        jax.ShapeDtypeStruct((H, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, chunk, H), lambda t, ec: (t, ec, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_n, H), lambda t, ec: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        full(max(L1, 1), H, H),
+        full(max(L1, 1), H),
+        full(H, C),
+        full(1, C),
+        full(1, C),
+        full(1, C),
+    )
+    dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb = pl.pallas_call(
+        kernel,
+        grid=(T, nc),
+        interpret=bool(os.environ.get("MAGNET_TPU_PALLAS_INTERPRET")),
+        in_specs=[
+            pl.BlockSpec((1, chunk, H), lambda t, ec: (t, ec, 0),
+                         memory_space=pltpu.VMEM),
+            full(n_pad, H),
+            pl.BlockSpec((1, tile_n, H), lambda t, ec: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(max(L1, 1), H, H),
+            full(max(L1, 1), H),
+            full(H, C),
+            full(1, C),
+            full(1, C),
+            pl.BlockSpec((T, nc, K), lambda t, ec: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, chunk), lambda t, ec: (t, 0, ec),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda t, ec: (t, 0, ec),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda t, ec: (t, 0, ec),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, C), lambda t, ec: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=outs,
+        scratch_shapes=[pltpu.VMEM((chunk, H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * E * (K * 128 + tile_n * 2 + 2 * L1 * H
+                               + 2 * C) * H // 2,
+            bytes_accessed=4 * (2 * T * E * H + n_pad * H
+                                + T * tile_n * (H + C)),
+            transcendentals=0,
+        ),
+    )(pe, pxj, pxi, w_rest, b_rest, w_out, b_out2, ln_s2,
+      tids, sl3, recv3, mask3, g)
+    if not L1:
+        dwr = jnp.zeros((0, H, H), jnp.float32)
+        dbr = jnp.zeros((0, H), jnp.float32)
+    return dz, dpxi, dwr, dbr, dwo, dbo.reshape(C), dls.reshape(C), \
+        dlb.reshape(C)
+
+
+def _fused2_impl(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                 ln_s, ln_b, tids, sl2, recv_local, mask):
+    if _use_pallas():
+        return _fused2_fwd_pallas(pe, pxj, pxi, w_rest, b_rest,
+                                  w_out, b_out, ln_s, ln_b, tids, sl2,
+                                  recv_local, mask)
+    return _fused2_ref_impl(pe, pxj, pxi, w_rest, b_rest, w_out,
+                            b_out, ln_s, ln_b, tids, sl2, recv_local, mask)
+
+
+@jax.custom_vjp
+def fused_edge_tail_agg2(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                         ln_s, ln_b, tids, sl2, recv_local, mask,
+                         snd_edge_ids, snd_local):
+    """Fused [in-kernel sender gather + receiver gather + edge-MLP tail +
+    LayerNorm + masked aggregation] over receiver-tile-blocked edges whose
+    senders ascend within each tile.
+
+    Args:
+      pe: (T, E_TILE, H) non-gather part of the first layer
+          (W_e·edge (+scale) + bias), blocked layout.
+      pxj: (N_pad, H) sender-side projected node table (VMEM-resident;
+          caller guards its size).
+      pxi: (T, tile_n, H) receiver-side chunk per node tile.
+      tids: (T, nc, K) int32 sender tile ids per edge chunk (pad -1).
+      sl2: (T, E_TILE) int32 = slot*128 + within-tile offset (pad -1).
+      recv_local/mask: (T, E_TILE).
+      snd_edge_ids/snd_local: sender-transpose layout, used only by the
+          backward for d_pxj (ops/segment.py machinery).
+    Returns: (T, tile_n, C) float32 masked sums.
+    """
+    return _fused2_impl(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                        ln_s, ln_b, tids, sl2, recv_local, mask)
+
+
+def _fused2_fwd(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                ln_s, ln_b, tids, sl2, recv_local, mask,
+                snd_edge_ids, snd_local):
+    out = _fused2_impl(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                       ln_s, ln_b, tids, sl2, recv_local, mask)
+    return out, (pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+                 tids, sl2, recv_local, mask, snd_edge_ids, snd_local)
+
+
+def _fused2_bwd(res, g):
+    (pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+     tids, sl2, recv_local, mask, snd_edge_ids, snd_local) = res
+    if not _use_pallas():
+        def f(pe_, pxj_, pxi_, wr_, br_, wo_, bo_, ls_, lb_):
+            return _fused2_ref_impl(pe_, pxj_, pxi_, wr_, br_, wo_,
+                                    bo_, ls_, lb_, tids, sl2, recv_local,
+                                    mask)
+
+        _, vjp = jax.vjp(f, pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                         ln_s, ln_b)
+        dpe_r, dpxj_r, dpxi, dwr, dbr, dwo, dbo, dls, dlb = vjp(g)
+        return (dpe_r.astype(pe.dtype), dpxj_r.astype(pxj.dtype),
+                dpxi.astype(pxi.dtype), dwr.astype(w_rest.dtype),
+                dbr.astype(b_rest.dtype), dwo.astype(w_out.dtype),
+                dbo.astype(b_out.dtype), dls.astype(ln_s.dtype),
+                dlb.astype(ln_b.dtype), None, None, None, None, None, None)
+
+    dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb = _fused2_bwd_pallas(
+        pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+        tids, sl2, recv_local, mask, g)
+    # d_pxj: reduce d_z into sender rows via the transpose blocking —
+    # gather rows by snd_edge_ids then per-tile one-hot matmul (no scatter)
+    T, E, H = pe.shape
+    dz_flat = dz.reshape(T * E, H)
+    padded = jnp.concatenate([dz_flat, jnp.zeros((1, H), dz_flat.dtype)], 0)
+    ts, ets = snd_local.shape
+    gathered = jnp.take(padded, snd_edge_ids.reshape(-1), axis=0).reshape(
+        ts, ets, H)
+    smask = (snd_edge_ids < T * E).astype(jnp.float32)
+    dpxj = blocked_segment_sum(gathered, snd_local, smask, 128).reshape(
+        -1, H)
+    # pxj may be padded past the tile count; padding rows get zero grad
+    dpxj = jnp.pad(dpxj, ((0, pxj.shape[0] - dpxj.shape[0]), (0, 0)))
+    return (dz.astype(pe.dtype), dpxj.astype(pxj.dtype),
+            dpxi.astype(pxi.dtype), dwr.astype(w_rest.dtype),
+            dbr.astype(b_rest.dtype), dwo.astype(w_out.dtype),
+            dbo.astype(b_out.dtype), dls.astype(ln_s.dtype),
+            dlb.astype(ln_b.dtype), None, None, None, None, None, None)
+
+
+fused_edge_tail_agg2.defvjp(_fused2_fwd, _fused2_bwd)

@@ -68,6 +68,7 @@ class Trainer:
         log_every: int = 10,
         check_val_every: int = 1,
         steps_per_call: int = 1,
+        skip_nonfinite: bool = False,
     ):
         self.model = model
         self.max_epochs = max_epochs
@@ -96,6 +97,7 @@ class Trainer:
         # benchmarks/variants.py scan10); graph-partitioned runs keep k=1
         # (the per-key sharding layout in _put doesn't stack).
         self.steps_per_call = max(1, int(steps_per_call))
+        self.skip_nonfinite = bool(skip_nonfinite)
         if self.steps_per_call > 1 and graph_shards > 1:
             log.warning(
                 "steps_per_call > 1 unsupported with graph_shards > 1; using 1"
@@ -118,7 +120,7 @@ class Trainer:
     def _build_steps(self, steps_per_epoch: int):
         self._tx = make_optimizer(
             self.lr, self.weight_decay, self.factor, self.step_size,
-            steps_per_epoch,
+            steps_per_epoch, skip_nonfinite=self.skip_nonfinite,
         )
         model = self.model
 

@@ -79,6 +79,7 @@ def main(argv=None):
         log_every=int(cfg.trainer.get("log_every", 10)),
         check_val_every=int(cfg.trainer.get("check_val_every", 1)),
         steps_per_call=int(cfg.trainer.get("steps_per_call", 1)),
+        skip_nonfinite=bool(cfg.trainer.get("skip_nonfinite", False)),
     )
     resume = cfg.get("ckpt_path") or None
     trainer.fit(loaders["train"], loaders["val"], resume=resume)

@@ -313,6 +313,13 @@ def test_fused_edge_tail_interpret_matches_ref(monkeypatch, E, L1):
 
     rng = np.random.default_rng(21)
     a = _fused_rand_args(rng, T=3, E=E, H=64, C=32, L1=L1)
+    if E == 2048:
+        # multi-chunk layout with a fully-dead chunk (tile 1, chunk 2):
+        # the kernel's occupancy skip must still zero-contribute it
+        monkeypatch.setattr(pk, "_FUSED_CHUNK_ENV", "512")
+        mask = np.asarray(a["mask"]).copy()
+        mask[1, 2 * 512:3 * 512] = 0.0
+        a["mask"] = jnp.asarray(mask)
     ref = pk._fused_ref_impl(a["h0"], a["pxi"], a["wr"], a["br"], a["wo"],
                              a["bo"], a["ls"], a["lb"], a["recv"], a["mask"])
     monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
@@ -329,6 +336,12 @@ def test_fused_edge_tail_grads_interpret(monkeypatch):
 
     rng = np.random.default_rng(22)
     a = _fused_rand_args(rng, T=2, E=256, H=64, C=64, L1=2)
+    # 2 chunks of 128; kill tile 1 chunk 1 to exercise the dead-chunk
+    # skip in the backward (dh0 must come back zero there)
+    monkeypatch.setattr(pk, "_FUSED_CHUNK_ENV", "128")
+    mask = np.asarray(a["mask"]).copy()
+    mask[1, 128:] = 0.0
+    a["mask"] = jnp.asarray(mask)
     order = ("h0", "pxi", "wr", "br", "wo", "bo", "ls", "lb")
     g = jnp.asarray(rng.normal(size=(2, 128, 64)).astype(np.float32))
 
@@ -357,7 +370,11 @@ def test_fused_mpnn_edge_agg_interpret(monkeypatch):
     w = jnp.asarray(rng.normal(size=(H, H)).astype(np.float32) * 0.2)
     b = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.2)
     recv = jnp.asarray(rng.integers(0, 128, size=(T, E)).astype(np.int32))
-    mask = jnp.asarray((rng.uniform(size=(T, E)) > 0.2).astype(np.float32))
+    # 3 chunks of 128 with tile 0 chunk 2 fully dead (occupancy skip)
+    monkeypatch.setattr(pk, "_FUSED_CHUNK_ENV", "128")
+    mask_np = (rng.uniform(size=(T, E)) > 0.2).astype(np.float32)
+    mask_np[0, 256:] = 0.0
+    mask = jnp.asarray(mask_np)
 
     ref = pk._mpnn_ref_impl(h0, pr, w, b, recv, mask)
     monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
@@ -440,23 +457,176 @@ def test_interaction_network_bf16_fused_runs(monkeypatch):
                              mlp_hidden=latent, dtype=jnp.bfloat16)
     params = net.init(jax.random.PRNGKey(0), x, e, gs)
 
-    def loss(p, fused):
-        if not fused:
+    def loss(p, mode):
+        # mode: "fused2" | "fused1" | "unfused"
+        if mode == "unfused":
             monkeypatch.setenv("MAGNET_TPU_NO_FUSED", "1")
         else:
             monkeypatch.delenv("MAGNET_TPU_NO_FUSED", raising=False)
+        if mode == "fused1":
+            monkeypatch.setenv("MAGNET_TPU_NO_FUSED2", "1")
+        else:
+            monkeypatch.delenv("MAGNET_TPU_NO_FUSED2", raising=False)
         xo, eo = net.apply(p, x, e, gs)
         return jnp.mean(xo.astype(jnp.float32) ** 2)
 
     monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
-    lf, gf = jax.value_and_grad(lambda p: loss(p, True))(params)
-    lu, gu = jax.value_and_grad(lambda p: loss(p, False))(params)
+    lf, gf = jax.value_and_grad(lambda p: loss(p, "fused1"))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(p, "fused2"))(params)
+    lu, gu = jax.value_and_grad(lambda p: loss(p, "unfused"))(params)
     np.testing.assert_allclose(float(lf), float(lu), rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(float(l2), float(lu), rtol=3e-2, atol=3e-2)
 
-    def close(va, vb):
-        va = np.asarray(va, np.float32)
-        vb = np.asarray(vb, np.float32)
-        rel = np.linalg.norm(va - vb) / max(np.linalg.norm(vb), 1e-6)
-        assert rel < 0.1, f"grad rel L2 {rel}"
+    def close(tol):
+        def f(va, vb):
+            va = np.asarray(va, np.float32)
+            vb = np.asarray(vb, np.float32)
+            rel = np.linalg.norm(va - vb) / max(np.linalg.norm(vb), 1e-6)
+            assert rel < tol, f"grad rel L2 {rel}"
 
-    jax.tree.map(close, gf, gu)
+        return f
+
+    jax.tree.map(close(0.1), gf, gu)
+    # fused2 accumulates the first-layer sum in f32 (v1/unfused sum in
+    # bf16), so relu-boundary flips shift grads a bit more at this size
+    jax.tree.map(close(0.15), g2, gu)
+
+
+def _fused2_args(rng, T=3, nc=2, chunk=256, H=64, C=64, L1=1, n=300, K=3):
+    """Random args for fused_edge_tail_agg2 with the sender-TILE layout:
+    per chunk up to K distinct sender tiles (pad -1), per-edge
+    slot*128+offset index."""
+    E = nc * chunk
+    n_tiles = (n + 127) // 128
+    n_pad = n_tiles * 128
+    tids = np.full((T, nc, K), -1, np.int32)
+    sl = np.full((T, E), -1, np.int32)
+    mask = np.zeros((T, E), np.float32)
+    for t in range(T):
+        for c in range(nc):
+            ku = rng.integers(1, K + 1)
+            u = np.sort(rng.choice(n_tiles, size=ku, replace=False))
+            tids[t, c, :ku] = u
+            for j in range(c * chunk, (c + 1) * chunk):
+                if rng.uniform() < 0.15:
+                    continue  # padded slot
+                slot = rng.integers(0, ku)
+                off = rng.integers(0, 128)
+                if u[slot] * 128 + off >= n:
+                    continue
+                sl[t, j] = slot * 128 + off
+                mask[t, j] = 1.0
+    return dict(
+        pe=jnp.asarray(rng.normal(size=(T, E, H)).astype(np.float32) * 0.3),
+        pxj=jnp.asarray(rng.normal(size=(n_pad, H)).astype(np.float32) * 0.3),
+        pxi=jnp.asarray(rng.normal(size=(T, 128, H)).astype(np.float32) * 0.3),
+        wr=jnp.asarray(rng.normal(size=(L1, H, H)).astype(np.float32) * 0.2),
+        br=jnp.asarray(rng.normal(size=(L1, H)).astype(np.float32) * 0.2),
+        wo=jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.2),
+        bo=jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.2),
+        ls=jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.5 + 1),
+        lb=jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.2),
+        tids=jnp.asarray(tids),
+        sl=jnp.asarray(sl),
+        recv=jnp.asarray(rng.integers(0, 128, size=(T, E)).astype(np.int32)),
+        mask=jnp.asarray(mask),
+    )
+
+
+def test_fused2_interpret_matches_ref(monkeypatch):
+    """fused_edge_tail_agg2 (in-kernel sender gather, interpret mode) vs
+    the jnp reference."""
+    from magnet_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(31)
+    a = _fused2_args(rng)
+    # force a fully-dead chunk (tile 1, last chunk): the kernel must skip
+    # it and still produce the right aggregation
+    tids = np.asarray(a["tids"]).copy()
+    sl = np.asarray(a["sl"]).copy()
+    mask = np.asarray(a["mask"]).copy()
+    chunk = sl.shape[1] // tids.shape[1]
+    tids[1, -1, :] = -1
+    sl[1, -chunk:] = -1
+    mask[1, -chunk:] = 0.0
+    a["tids"], a["sl"], a["mask"] = map(jnp.asarray, (tids, sl, mask))
+    args = (a["pe"], a["pxj"], a["pxi"], a["wr"], a["br"], a["wo"], a["bo"],
+            a["ls"], a["lb"], a["tids"], a["sl"], a["recv"], a["mask"])
+    ref = pk._fused2_ref_impl(*args)
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    out = pk._fused2_fwd_pallas(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_fused2_grads_interpret(monkeypatch):
+    """fused2 Pallas backward (interpret) vs autodiff of the reference for
+    the differentiable tensor inputs (d_pxj is reduced outside the kernel
+    through the transpose layout in production)."""
+    from magnet_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(32)
+    a = _fused2_args(rng, T=2, nc=2, chunk=128, H=64, C=64, L1=2, K=2)
+    order = ("pe", "pxj", "pxi", "wr", "br", "wo", "bo", "ls", "lb")
+    g = jnp.asarray(rng.normal(size=(2, 128, 64)).astype(np.float32))
+
+    def ref_loss(*p):
+        return jnp.sum(pk._fused2_ref_impl(
+            *p, a["tids"], a["sl"], a["recv"], a["mask"]) * g)
+
+    want = jax.grad(ref_loss, argnums=tuple(range(9)))(
+        *[a[k] for k in order])
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    got = pk._fused2_bwd_pallas(
+        *[a[k] for k in order], a["tids"], a["sl"], a["recv"], a["mask"], g)
+    names = ("pe", "pxi", "wr", "br", "wo", "bo", "ls", "lb")
+    want_sel = (want[0], want[2], want[3], want[4], want[5], want[6],
+                want[7], want[8])
+    for name, w, h in zip(names, want_sel, got):
+        np.testing.assert_allclose(np.asarray(h), np.asarray(w), rtol=1e-3,
+                                   atol=1e-4, err_msg=name)
+
+
+def test_interaction_network_fused2_path():
+    """End-to-end: a graph whose packer emits the sender-tile layout
+    takes the fused2 path (interpret mode) and matches the fused-v1 path
+    on loss and grads."""
+    import os
+
+    from magnet_tpu.nn.graphnet import InteractionNetwork
+    from magnet_tpu.models.common import batch_vmap, build_radius_graph_batch
+
+    rng = np.random.default_rng(33)
+    B, n, latent = 2, 260, 16
+    # sorted 1D coords -> few sender tiles per chunk -> snd2 layout present
+    coords = np.sort(rng.uniform(-1, 1, (B, n, 1)), axis=1)
+    coords = np.concatenate([coords, np.zeros_like(coords)], -1)
+    g = build_radius_graph_batch(coords.astype(np.float32), 0.05, loop=True)
+    assert g.blk_snd2_tids is not None, "packer should emit snd2 layout"
+
+    E = g.senders.shape[1]
+    x = jnp.asarray(rng.normal(size=(B, n, latent)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(B, E, latent)).astype(np.float32))
+    inet = batch_vmap(InteractionNetwork, in_axes=(0, 0, 0),
+                      node_out=latent, edge_out=latent, mlp_layers=2,
+                      mlp_hidden=latent)
+    params = inet.init(jax.random.PRNGKey(0), x, e, g)
+
+    def loss(p, graph):
+        a, b = inet.apply(p, x, e, graph)
+        return jnp.mean(a**2) + jnp.mean(b**2)
+
+    os.environ["MAGNET_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        l2, g2 = jax.value_and_grad(loss)(params, g)
+        os.environ["MAGNET_TPU_NO_FUSED2"] = "1"
+        l1_, g1 = jax.value_and_grad(loss)(params, g)
+    finally:
+        os.environ.pop("MAGNET_TPU_PALLAS_INTERPRET", None)
+        os.environ.pop("MAGNET_TPU_NO_FUSED2", None)
+    np.testing.assert_allclose(float(l2), float(l1_), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4),
+        g1, g2,
+    )

@@ -192,3 +192,24 @@ def test_loader_prefetch_and_transform(f1d_train):
     bad = DataLoader(ds, 4, seed=3, prefetch=2, transform=boom)
     with pytest.raises(RuntimeError, match="worker failure"):
         list(bad)
+
+
+def test_skip_nonfinite_guard():
+    """make_optimizer(skip_nonfinite=True) drops updates whose grads are
+    non-finite (params untouched), applies finite ones normally."""
+    import jax.numpy as jnp
+    import optax
+
+    from magnet_tpu.train.optim import make_optimizer
+
+    tx = make_optimizer(1e-2, skip_nonfinite=True)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    bad = {"w": jnp.array([1.0, jnp.nan, 2.0])}
+    upd, state = tx.update(bad, state, params)
+    p2 = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(np.asarray(p2["w"]), np.ones(3))
+    good = {"w": jnp.ones((3,))}
+    upd, state = tx.update(good, state, params)
+    p3 = optax.apply_updates(params, upd)
+    assert not np.allclose(np.asarray(p3["w"]), np.ones(3))
