@@ -41,6 +41,13 @@ class Graph(NamedTuple):
     # (ops/pallas_kernels.py:fused_edge_tail_agg2)
     blk_snd2_tids: jnp.ndarray | None = None      # (B, T, nc, K) int32
     blk_snd2_local: jnp.ndarray | None = None     # (B, T, E_TILE) int32
+    # flat live-chunk list for the ragged-grid kernel (fused2r): the grid
+    # visits only these (tile, chunk) pairs — dead chunks never DMA.
+    # flag: 1 = live, 0 = dead-but-included (zero-init of the tile's
+    # output / d_z block only), 2 = batch-pad entry (no-op repeat).
+    blk_chunk_ct: jnp.ndarray | None = None       # (B, NCL) int32 tile id
+    blk_chunk_cc: jnp.ndarray | None = None       # (B, NCL) int32 chunk id
+    blk_chunk_flag: jnp.ndarray | None = None     # (B, NCL) int32
 
     @staticmethod
     def from_padded(g: hostgraph.PaddedGraph) -> "Graph":
@@ -220,12 +227,49 @@ def _snd2_fields(blocked, key):
         return np.pad(t, ((0, 0), (0, 0), (0, kmax - t.shape[2])),
                       constant_values=-1)
 
+    # flat live-chunk lists (ragged-grid kernel); NCL is the sticky batch
+    # max, padded with flag=2 repeats of the last entry (no-op: same tile
+    # as the preceding entry, so output-block revisiting stays consecutive)
+    lists = [_chunk_list(g.snd2_tids) for g in blocked]
+    ncl = max(len(ct) for ct, _, _ in lists)
+    lkey = key + ("snd2_ncl",)
+    ncl = max(ncl, _E_TILE_CACHE.get(lkey, 0))
+    _E_TILE_CACHE[lkey] = ncl
+
+    def padl(a, fill_last):
+        pad = ncl - len(a)
+        tail = np.full(pad, a[-1] if fill_last else 2, a.dtype)
+        return np.concatenate([a, tail])
+
     return dict(
         blk_snd2_tids=jnp.asarray(
             np.stack([padk(g.snd2_tids) for g in blocked])),
         blk_snd2_local=jnp.asarray(
             np.stack([g.snd2_local for g in blocked])),
+        blk_chunk_ct=jnp.asarray(
+            np.stack([padl(ct, True) for ct, _, _ in lists])),
+        blk_chunk_cc=jnp.asarray(
+            np.stack([padl(cc, True) for _, cc, _ in lists])),
+        blk_chunk_flag=jnp.asarray(
+            np.stack([padl(fl, False) for _, _, fl in lists])),
     )
+
+
+def _chunk_list(tids: np.ndarray):
+    """Flat (tile, chunk) visit list from the sender-tile metadata:
+    every live chunk (tids[t,c,0] >= 0), plus chunk 0 of every tile so
+    each tile's output block gets zero-initialized exactly once."""
+    T, nc, _ = tids.shape
+    live = tids[:, :, 0] >= 0
+    ct, cc, fl = [], [], []
+    for t in range(T):
+        for c in range(nc):
+            if c == 0 or live[t, c]:
+                ct.append(t)
+                cc.append(c)
+                fl.append(1 if live[t, c] else 0)
+    return (np.asarray(ct, np.int32), np.asarray(cc, np.int32),
+            np.asarray(fl, np.int32))
 
 
 def time_windows(t: jnp.ndarray, n_windows: int, slice_len: int) -> jnp.ndarray:

@@ -197,6 +197,7 @@ class InteractionNetwork(fnn.Module):
         from magnet_tpu.ops.pallas_kernels import (
             fused_edge_tail_agg,
             fused_edge_tail_agg2,
+            fused_edge_tail_agg2r,
         )
 
         p_xi = self.e_w_xi(x)                                    # (N, H)
@@ -216,16 +217,32 @@ class InteractionNetwork(fnn.Module):
             # the (E, H) gathered array never exists in HBM (the XLA
             # gather was the largest non-kernel cost — profile_bench.py)
             pxj_pad = jnp.pad(p_xj, ((0, n_pad - n), (0, 0)))
-            agg_sum = fused_edge_tail_agg2(
-                pe.reshape(t, et, hdim),
-                pxj_pad,
-                pxi_pad.reshape(t, tile_n, hdim),
-                wr, br, wo, bo,
-                self.ln_scale, self.ln_bias,
-                gs.blk_snd2_tids, gs.blk_snd2_local,
-                gs.blk_recv_local, gs.edge_mask.reshape(t, et),
-                gs.blk_snd_edge_ids, gs.blk_snd_local,
-            )
+            import os as _os
+            if (gs.blk_chunk_ct is not None
+                    and not _os.environ.get("MAGNET_TPU_NO_FUSED2R")):
+                # ragged flat live-chunk grid: dead chunks never DMA
+                agg_sum = fused_edge_tail_agg2r(
+                    pe.reshape(t, et, hdim),
+                    pxj_pad,
+                    pxi_pad.reshape(t, tile_n, hdim),
+                    wr, br, wo, bo,
+                    self.ln_scale, self.ln_bias,
+                    gs.blk_snd2_tids, gs.blk_snd2_local,
+                    gs.blk_recv_local, gs.edge_mask.reshape(t, et),
+                    gs.blk_chunk_ct, gs.blk_chunk_cc, gs.blk_chunk_flag,
+                    gs.blk_snd_edge_ids, gs.blk_snd_local,
+                )
+            else:
+                agg_sum = fused_edge_tail_agg2(
+                    pe.reshape(t, et, hdim),
+                    pxj_pad,
+                    pxi_pad.reshape(t, tile_n, hdim),
+                    wr, br, wo, bo,
+                    self.ln_scale, self.ln_bias,
+                    gs.blk_snd2_tids, gs.blk_snd2_local,
+                    gs.blk_recv_local, gs.edge_mask.reshape(t, et),
+                    gs.blk_snd_edge_ids, gs.blk_snd_local,
+                )
         else:
             gathered = gather_nodes(p_xj, gs, "sender")
             h0 = gathered + pe                                   # (E, H)

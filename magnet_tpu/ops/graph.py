@@ -29,6 +29,7 @@ numpy fallback otherwise.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -186,7 +187,12 @@ def build_radius_graph_padded(
 def _chunkable_e_tile(e_tile: int) -> int:
     """Ensure the kernel can E-chunk with a reasonable chunk size: walk up
     in 128-steps to the nearest bucket whose best divisor-chunk is >= 512
-    (a multiple of 2048 always qualifies, so the walk is bounded)."""
+    (a multiple of 2048 always qualifies, so the walk is bounded).
+    MAGNET_TPU_CHUNK2 (the ragged-grid chunk size) instead rounds e_tile
+    up to a multiple of that chunk so block indexing stays aligned."""
+    c2 = int(os.environ.get("MAGNET_TPU_CHUNK2", 0))
+    if c2:
+        return ((e_tile + c2 - 1) // c2) * c2
     if e_tile <= 2048:
         return e_tile
     from magnet_tpu.ops.pallas_kernels import _e_chunk
@@ -252,7 +258,11 @@ SND2_K_CAP = 8  # max distinct sender tiles per edge chunk
 
 def _chunk2_of(e_tile: int, cap: int = 2048) -> int:
     """Largest 128-multiple divisor of e_tile that is <= cap (the edge
-    chunk the in-kernel sender-gather path will use)."""
+    chunk the in-kernel sender-gather path will use).  MAGNET_TPU_CHUNK2
+    overrides (``_chunkable_e_tile`` then guarantees divisibility)."""
+    c2 = int(os.environ.get("MAGNET_TPU_CHUNK2", 0))
+    if c2 and e_tile % c2 == 0:
+        return min(c2, e_tile)
     if e_tile <= cap:
         return e_tile
     k = e_tile // 128

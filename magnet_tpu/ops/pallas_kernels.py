@@ -1294,3 +1294,420 @@ def _fused2_bwd(res, g):
 
 
 fused_edge_tail_agg2.defvjp(_fused2_fwd, _fused2_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused edge pipeline v2r: fused2 math on a RAGGED flat live-chunk grid.
+#
+# The rectangular (T, E_TILE) layout pads every tile to the batch-max
+# in-degree bucket; with spatially-ordered nodes up to ~25% of slots are
+# padding.  Instead of a (T, nc) grid with in-kernel dead-chunk skips
+# (which still DMA the dead blocks and burn grid steps), the grid here is
+# a host-built flat list of live (tile, chunk) pairs delivered by scalar
+# prefetch (models/common.py:_chunk_list): dead chunks never enter the
+# grid, so they cost no DMA and no steps, and the chunk size can shrink
+# (MAGNET_TPU_CHUNK2) to reclaim partial-chunk padding without paying for
+# the extra dead chunks that creates.  flag per entry: 1 = live compute,
+# 0 = dead-but-included (zero-init of the tile's output / d_z block —
+# chunk 0 of every tile is always listed), 2 = batch-pad repeat (no-op).
+#
+# Backward caveat: d_z blocks of unlisted dead chunks are never written
+# (uninitialized) — the VJP wrapper zeroes them with jnp.where(mask).
+# ---------------------------------------------------------------------------
+
+
+def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                        ln_s, ln_b, tids, sl2, recv_local, mask,
+                        ct, cc, flag):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, E, H = pe.shape
+    tile_n = pxi.shape[1]
+    L1 = w_rest.shape[0]
+    C = w_out.shape[1]
+    nc, K = tids.shape[1:]
+    chunk = E // nc
+    n_pad = pxj.shape[0]
+    ncl = ct.shape[0]
+    sl3 = sl2.reshape(T, 1, E)
+    recv3 = recv_local.reshape(T, 1, E)
+    mask3 = mask.reshape(T, 1, E)
+    b_out2 = b_out.reshape(1, C)
+    ln_s2 = ln_s.reshape(1, C)
+    ln_b2 = ln_b.reshape(1, C)
+    if not L1:
+        w_rest = jnp.zeros((1, H, H), jnp.float32)
+        b_rest = jnp.zeros((1, H), jnp.float32)
+    dt = pe.dtype
+
+    def kernel(ct_ref, cc_ref, fl_ref, tid_ref,
+               pe_ref, pxj_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref,
+               ls_ref, lb_ref, sl_ref, recv_ref, mask_ref,
+               out_ref, g0_ref):
+        i = pl.program_id(0)
+        t = ct_ref[i]
+        ec = cc_ref[i]
+        new_tile = jnp.logical_or(i == 0, ct_ref[jnp.maximum(i - 1, 0)] != t)
+
+        @pl.when(new_tile)
+        def _():
+            out_ref[0] = jnp.zeros((tile_n, C), jnp.float32)
+
+        @pl.when(fl_ref[i] == 1)
+        def _():
+            sl = sl_ref[0, 0]
+            g0_ref[...] = jnp.zeros((chunk, H), jnp.float32)
+            cols128 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
+            for k in range(K):
+                tid = tid_ref[t, ec, k]
+
+                @pl.when(tid >= 0)
+                def _(k=k, tid=tid):
+                    base = pl.multiple_of(tid * 128, 128)
+                    win = pxj_ref[pl.ds(base, 128), :]
+                    ohk = (cols128 == (sl - k * 128)[:, None]).astype(dt)
+                    g0_ref[...] += _dot(ohk, win.astype(dt))
+
+            recv = recv_ref[0, 0]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
+            oh_g = (cols == recv[:, None]).astype(dt)
+            gath = _dot(oh_g, pxi_ref[0])
+            h = jax.nn.relu(pe_ref[0] + g0_ref[...] + gath).astype(dt)
+            for k in range(L1):
+                h = jax.nn.relu(_dot(h, wr_ref[k])
+                                + br_ref[k][None, :]).astype(dt)
+            y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+            y = (y - mu) * jax.lax.rsqrt(var + LN_EPS) \
+                * ls_ref[0][None, :] + lb_ref[0][None, :]
+            m = mask_ref[0, 0]
+            rws = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
+            oh_a = (rws == recv[None, :]).astype(dt) * m[None, :].astype(dt)
+            out_ref[0] = out_ref[0] + _dot(oh_a, y.astype(dt))
+
+    full = lambda *shape: pl.BlockSpec(
+        shape, lambda i, ct, cc, fl, tid: (0,) * len(shape))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ncl,),
+        in_specs=[
+            pl.BlockSpec((1, chunk, H),
+                         lambda i, ct, cc, fl, tid: (ct[i], cc[i], 0)),
+            full(n_pad, H),                                  # pxj table
+            pl.BlockSpec((1, tile_n, H),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
+            full(max(L1, 1), H, H),
+            full(max(L1, 1), H),
+            full(H, C),
+            full(1, C),
+            full(1, C),
+            full(1, C),
+            pl.BlockSpec((1, 1, chunk),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
+            pl.BlockSpec((1, 1, chunk),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
+            pl.BlockSpec((1, 1, chunk),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, C),
+                               lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
+        scratch_shapes=[pltpu.VMEM((chunk, H), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=bool(os.environ.get("MAGNET_TPU_PALLAS_INTERPRET")),
+        out_shape=jax.ShapeDtypeStruct((T, tile_n, C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * E * (K * 128 + tile_n * 2 + L1 * H + C) * H // 2,
+            bytes_accessed=4 * (T * E * H + n_pad * H + T * tile_n * H),
+            transcendentals=0,
+        ),
+    )(ct, cc, flag, tids, pe, pxj, pxi, w_rest, b_rest, w_out, b_out2,
+      ln_s2, ln_b2, sl3, recv3, mask3)
+
+
+def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                        ln_s, ln_b, tids, sl2, recv_local, mask,
+                        ct, cc, flag, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, E, H = pe.shape
+    tile_n = pxi.shape[1]
+    L1 = w_rest.shape[0]
+    C = w_out.shape[1]
+    nc, K = tids.shape[1:]
+    chunk = E // nc
+    n_pad = pxj.shape[0]
+    ncl = ct.shape[0]
+    sl3 = sl2.reshape(T, 1, E)
+    recv3 = recv_local.reshape(T, 1, E)
+    mask3 = mask.reshape(T, 1, E)
+    b_out2 = b_out.reshape(1, C)
+    ln_s2 = ln_s.reshape(1, C)
+    if not L1:
+        w_rest = jnp.zeros((1, H, H), jnp.float32)
+        b_rest = jnp.zeros((1, H), jnp.float32)
+    dt = pe.dtype
+
+    def _dot_rt(a, b):
+        if a.dtype != b.dtype:
+            wide = jnp.promote_types(a.dtype, b.dtype)
+            a, b = a.astype(wide), b.astype(wide)
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def kernel(ct_ref, cc_ref, fl_ref, tid_ref,
+               pe_ref, pxj_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref,
+               ls_ref, sl_ref, recv_ref, mask_ref, g_ref,
+               dz_ref, dpxi_ref, dwr_ref, dbr_ref, dwo_ref, dbo_ref,
+               dls_ref, dlb_ref, g0_ref):
+        i = pl.program_id(0)
+        t = ct_ref[i]
+        ec = cc_ref[i]
+        new_tile = jnp.logical_or(i == 0, ct_ref[jnp.maximum(i - 1, 0)] != t)
+
+        @pl.when(i == 0)
+        def _():
+            dwr_ref[...] = jnp.zeros_like(dwr_ref)
+            dbr_ref[...] = jnp.zeros_like(dbr_ref)
+            dwo_ref[...] = jnp.zeros_like(dwo_ref)
+            dbo_ref[...] = jnp.zeros_like(dbo_ref)
+            dls_ref[...] = jnp.zeros_like(dls_ref)
+            dlb_ref[...] = jnp.zeros_like(dlb_ref)
+
+        @pl.when(new_tile)
+        def _():
+            dpxi_ref[0] = jnp.zeros((tile_n, H), jnp.float32)
+
+        @pl.when(fl_ref[i] == 0)
+        def _():
+            dz_ref[0] = jnp.zeros((chunk, H), jnp.float32)
+
+        @pl.when(fl_ref[i] == 1)
+        def _():
+            sl = sl_ref[0, 0]
+            g0_ref[...] = jnp.zeros((chunk, H), jnp.float32)
+            cols128 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
+            for k in range(K):
+                tid = tid_ref[t, ec, k]
+
+                @pl.when(tid >= 0)
+                def _(k=k, tid=tid):
+                    base = pl.multiple_of(tid * 128, 128)
+                    win = pxj_ref[pl.ds(base, 128), :]
+                    ohk = (cols128 == (sl - k * 128)[:, None]).astype(dt)
+                    g0_ref[...] += _dot(ohk, win.astype(dt))
+
+            recv = recv_ref[0, 0]
+            m = mask_ref[0, 0]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
+            oh_g = (cols == recv[:, None]).astype(dt)
+            gath = _dot(oh_g, pxi_ref[0])
+
+            h = jax.nn.relu(pe_ref[0] + g0_ref[...] + gath).astype(dt)
+            hs = [h]
+            for k in range(L1):
+                h = jax.nn.relu(_dot(h, wr_ref[k])
+                                + br_ref[k][None, :]).astype(dt)
+                hs.append(h)
+            y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+            inv = jax.lax.rsqrt(var + LN_EPS)
+            xhat = (y - mu) * inv
+
+            d_out = _dot(oh_g, g_ref[0].astype(dt)) * m[:, None]
+            dls = jnp.sum(d_out * xhat, axis=0, keepdims=True)
+            dlb = jnp.sum(d_out, axis=0, keepdims=True)
+            d_xhat = d_out * ls_ref[0][None, :]
+            d_y = inv * (
+                d_xhat
+                - jnp.mean(d_xhat, axis=-1, keepdims=True)
+                - xhat * jnp.mean(d_xhat * xhat, axis=-1, keepdims=True)
+            )
+            d_yc = d_y.astype(dt)
+            dwo = _dot_t(hs[L1], d_yc)
+            dbo = jnp.sum(d_y, axis=0, keepdims=True)
+            d_h = _dot_rt(d_yc, wo_ref[:])
+            dwr_list = []
+            dbr_list = []
+            for k in range(L1 - 1, -1, -1):
+                d_h = d_h * (hs[k + 1].astype(jnp.float32) > 0)
+                dwr_list.append(_dot_t(hs[k], d_h.astype(dt)))
+                dbr_list.append(jnp.sum(d_h, axis=0))
+                d_h = _dot_rt(d_h.astype(dt), wr_ref[k])
+            d_h = d_h * (hs[0].astype(jnp.float32) > 0)
+            dz_ref[0] = d_h
+            rws = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
+            oh_a = (rws == recv[None, :]).astype(dt)
+            dpxi_ref[0] = dpxi_ref[0] + _dot(oh_a, d_h.astype(dt))
+
+            if L1:
+                dwr_new = jnp.stack(dwr_list[::-1])
+                dbr_new = jnp.stack(dbr_list[::-1])
+            else:
+                dwr_new = jnp.zeros((1, H, H), jnp.float32)
+                dbr_new = jnp.zeros((1, H), jnp.float32)
+            dwr_ref[...] = dwr_ref[...] + dwr_new
+            dbr_ref[...] = dbr_ref[...] + dbr_new
+            dwo_ref[...] = dwo_ref[...] + dwo
+            dbo_ref[...] = dbo_ref[...] + dbo
+            dls_ref[...] = dls_ref[...] + dls
+            dlb_ref[...] = dlb_ref[...] + dlb
+
+    full = lambda *shape: pl.BlockSpec(
+        shape, lambda i, ct, cc, fl, tid: (0,) * len(shape))
+    outs = (
+        jax.ShapeDtypeStruct((T, E, H), jnp.float32),        # d_z
+        jax.ShapeDtypeStruct((T, tile_n, H), jnp.float32),   # d_pxi
+        jax.ShapeDtypeStruct((max(L1, 1), H, H), jnp.float32),
+        jax.ShapeDtypeStruct((max(L1, 1), H), jnp.float32),
+        jax.ShapeDtypeStruct((H, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, chunk, H),
+                     lambda i, ct, cc, fl, tid: (ct[i], cc[i], 0)),
+        pl.BlockSpec((1, tile_n, H),
+                     lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
+        full(max(L1, 1), H, H),
+        full(max(L1, 1), H),
+        full(H, C),
+        full(1, C),
+        full(1, C),
+        full(1, C),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ncl,),
+        in_specs=[
+            pl.BlockSpec((1, chunk, H),
+                         lambda i, ct, cc, fl, tid: (ct[i], cc[i], 0)),
+            full(n_pad, H),
+            pl.BlockSpec((1, tile_n, H),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
+            full(max(L1, 1), H, H),
+            full(max(L1, 1), H),
+            full(H, C),
+            full(1, C),
+            full(1, C),
+            pl.BlockSpec((1, 1, chunk),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
+            pl.BlockSpec((1, 1, chunk),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
+            pl.BlockSpec((1, 1, chunk),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
+            pl.BlockSpec((1, tile_n, C),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((chunk, H), jnp.float32)],
+    )
+    dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=bool(os.environ.get("MAGNET_TPU_PALLAS_INTERPRET")),
+        out_shape=outs,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * E * (K * 128 + tile_n * 2 + 2 * L1 * H
+                               + 2 * C) * H // 2,
+            bytes_accessed=4 * (2 * T * E * H + n_pad * H
+                                + T * tile_n * (H + C)),
+            transcendentals=0,
+        ),
+    )(ct, cc, flag, tids, pe, pxj, pxi, w_rest, b_rest, w_out, b_out2,
+      ln_s2, sl3, recv3, mask3, g)
+    # unlisted dead chunks were never written — zero them (NaN-safe select)
+    dz = jnp.where((mask > 0).reshape(T, E, 1), dz, 0.0)
+    if not L1:
+        dwr = jnp.zeros((0, H, H), jnp.float32)
+        dbr = jnp.zeros((0, H), jnp.float32)
+    return dz, dpxi, dwr, dbr, dwo, dbo.reshape(C), dls.reshape(C), \
+        dlb.reshape(C)
+
+
+def _fused2r_impl(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                  ln_s, ln_b, tids, sl2, recv_local, mask, ct, cc, flag):
+    if _use_pallas():
+        return _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest,
+                                   w_out, b_out, ln_s, ln_b, tids, sl2,
+                                   recv_local, mask, ct, cc, flag)
+    return _fused2_ref_impl(pe, pxj, pxi, w_rest, b_rest, w_out,
+                            b_out, ln_s, ln_b, tids, sl2, recv_local, mask)
+
+
+@jax.custom_vjp
+def fused_edge_tail_agg2r(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                          ln_s, ln_b, tids, sl2, recv_local, mask,
+                          ct, cc, flag, snd_edge_ids, snd_local):
+    """fused_edge_tail_agg2 on the ragged flat live-chunk grid: identical
+    math and metadata, plus the scalar-prefetched visit list (ct, cc,
+    flag) from models/common.py:_chunk_list.  Dead chunks are never
+    DMA'd or visited.  Returns (T, tile_n, C) float32 masked sums."""
+    return _fused2r_impl(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                         ln_s, ln_b, tids, sl2, recv_local, mask,
+                         ct, cc, flag)
+
+
+def _fused2r_fwd(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                 ln_s, ln_b, tids, sl2, recv_local, mask,
+                 ct, cc, flag, snd_edge_ids, snd_local):
+    out = _fused2r_impl(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                        ln_s, ln_b, tids, sl2, recv_local, mask,
+                        ct, cc, flag)
+    return out, (pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+                 tids, sl2, recv_local, mask, ct, cc, flag,
+                 snd_edge_ids, snd_local)
+
+
+def _fused2r_bwd(res, g):
+    (pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+     tids, sl2, recv_local, mask, ct, cc, flag,
+     snd_edge_ids, snd_local) = res
+    if not _use_pallas():
+        def f(pe_, pxj_, pxi_, wr_, br_, wo_, bo_, ls_, lb_):
+            return _fused2_ref_impl(pe_, pxj_, pxi_, wr_, br_, wo_,
+                                    bo_, ls_, lb_, tids, sl2, recv_local,
+                                    mask)
+
+        _, vjp = jax.vjp(f, pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                         ln_s, ln_b)
+        dpe_r, dpxj_r, dpxi, dwr, dbr, dwo, dbo, dls, dlb = vjp(g)
+        return (dpe_r.astype(pe.dtype), dpxj_r.astype(pxj.dtype),
+                dpxi.astype(pxi.dtype), dwr.astype(w_rest.dtype),
+                dbr.astype(b_rest.dtype), dwo.astype(w_out.dtype),
+                dbo.astype(b_out.dtype), dls.astype(ln_s.dtype),
+                dlb.astype(ln_b.dtype), None, None, None, None,
+                None, None, None, None, None)
+
+    dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb = _fused2r_bwd_pallas(
+        pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+        tids, sl2, recv_local, mask, ct, cc, flag, g)
+    # d_pxj: reduce d_z into sender rows via the transpose blocking
+    T, E, H = pe.shape
+    dz_flat = dz.reshape(T * E, H)
+    padded = jnp.concatenate([dz_flat, jnp.zeros((1, H), dz_flat.dtype)], 0)
+    ts, ets = snd_local.shape
+    gathered = jnp.take(padded, snd_edge_ids.reshape(-1), axis=0).reshape(
+        ts, ets, H)
+    smask = (snd_edge_ids < T * E).astype(jnp.float32)
+    dpxj = blocked_segment_sum(gathered, snd_local, smask, 128).reshape(
+        -1, H)
+    dpxj = jnp.pad(dpxj, ((0, pxj.shape[0] - dpxj.shape[0]), (0, 0)))
+    return (dz.astype(pe.dtype), dpxj.astype(pxj.dtype),
+            dpxi.astype(pxi.dtype), dwr.astype(w_rest.dtype),
+            dbr.astype(b_rest.dtype), dwo.astype(w_out.dtype),
+            dbo.astype(b_out.dtype), dls.astype(ln_s.dtype),
+            dlb.astype(ln_b.dtype), None, None, None, None,
+            None, None, None, None, None)
+
+
+fused_edge_tail_agg2r.defvjp(_fused2r_fwd, _fused2r_bwd)

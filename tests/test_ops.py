@@ -630,3 +630,88 @@ def test_interaction_network_fused2_path():
             np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4),
         g1, g2,
     )
+
+
+def _chunk_list_args(a):
+    """Visit list (ct, cc, flag) for fused2r from _fused2_args tids."""
+    from magnet_tpu.models.common import _chunk_list
+
+    tids = np.asarray(a["tids"])
+    lists = [_chunk_list(tids)]  # single "sample"
+    ct, cc, fl = lists[0]
+    return jnp.asarray(ct), jnp.asarray(cc), jnp.asarray(fl)
+
+
+def test_fused2r_interpret_matches_ref(monkeypatch):
+    """Ragged-grid fused kernel (scalar-prefetch flat live-chunk list,
+    interpret mode) vs the jnp reference, incl. a fully-dead chunk (left
+    out of the visit list), a dead TILE (flag=0 zero-init entry), and
+    flag=2 batch-pad repeats."""
+    from magnet_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(41)
+    a = _fused2_args(rng, T=3, nc=2, chunk=256, H=64, C=64, L1=1, K=3)
+    tids = np.asarray(a["tids"]).copy()
+    sl = np.asarray(a["sl"]).copy()
+    mask = np.asarray(a["mask"]).copy()
+    chunk = sl.shape[1] // tids.shape[1]
+    # dead chunk (tile 1, chunk 1) and fully-dead tile 2
+    tids[1, -1, :] = -1
+    sl[1, -chunk:] = -1
+    mask[1, -chunk:] = 0.0
+    tids[2, :, :] = -1
+    sl[2, :] = -1
+    mask[2, :] = 0.0
+    a["tids"], a["sl"], a["mask"] = map(jnp.asarray, (tids, sl, mask))
+    ct, cc, fl = _chunk_list_args(a)
+    # append 2 flag=2 pad repeats of the last entry
+    ct = jnp.concatenate([ct, ct[-1:], ct[-1:]])
+    cc = jnp.concatenate([cc, cc[-1:], cc[-1:]])
+    fl = jnp.concatenate([fl, jnp.array([2, 2], jnp.int32)])
+
+    args = (a["pe"], a["pxj"], a["pxi"], a["wr"], a["br"], a["wo"], a["bo"],
+            a["ls"], a["lb"], a["tids"], a["sl"], a["recv"], a["mask"])
+    ref = pk._fused2_ref_impl(*args)
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    out = pk._fused2r_fwd_pallas(*args, ct, cc, fl)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_fused2r_grads_interpret(monkeypatch):
+    """fused2r Pallas backward (interpret) vs autodiff of the reference;
+    unvisited dead-chunk d_z rows must come back zero."""
+    from magnet_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(42)
+    a = _fused2_args(rng, T=2, nc=2, chunk=128, H=64, C=64, L1=2, K=2)
+    tids = np.asarray(a["tids"]).copy()
+    sl = np.asarray(a["sl"]).copy()
+    mask = np.asarray(a["mask"]).copy()
+    chunk = sl.shape[1] // tids.shape[1]
+    tids[0, 1, :] = -1
+    sl[0, chunk:] = -1
+    mask[0, chunk:] = 0.0
+    a["tids"], a["sl"], a["mask"] = map(jnp.asarray, (tids, sl, mask))
+    ct, cc, fl = _chunk_list_args(a)
+    order = ("pe", "pxj", "pxi", "wr", "br", "wo", "bo", "ls", "lb")
+    g = jnp.asarray(rng.normal(size=(2, 128, 64)).astype(np.float32))
+
+    def ref_loss(*p):
+        return jnp.sum(pk._fused2_ref_impl(
+            *p, a["tids"], a["sl"], a["recv"], a["mask"]) * g)
+
+    want = jax.grad(ref_loss, argnums=tuple(range(9)))(
+        *[a[k] for k in order])
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    got = pk._fused2r_bwd_pallas(
+        *[a[k] for k in order], a["tids"], a["sl"], a["recv"], a["mask"],
+        ct, cc, fl, g)
+    names = ("pe", "pxi", "wr", "br", "wo", "bo", "ls", "lb")
+    want_sel = (want[0], want[2], want[3], want[4], want[5], want[6],
+                want[7], want[8])
+    for name, w, h in zip(names, want_sel, got):
+        np.testing.assert_allclose(np.asarray(h), np.asarray(w), rtol=1e-3,
+                                   atol=1e-4, err_msg=name)
+    # the dead chunk's d_z rows are exactly zero
+    np.testing.assert_array_equal(np.asarray(got[0][0, chunk:]), 0.0)
