@@ -183,20 +183,29 @@ class InteractionNetwork(fnn.Module):
     # VMEM budget for the fused2 resident node table (p_xj + padding)
     _FUSED2_TABLE_BYTES = 5 * 2**20
 
-    def _use_fused2(self, gs, n_pad, hdim) -> bool:
+    def _fused2_mode(self, gs, n_pad, hdim) -> str | None:
+        """None (fall back to the XLA sender gather), 'vmem' (whole
+        projected table resident), or 'hbm' (table in HBM, per-chunk
+        window DMAs — large meshes)."""
         import os
 
         if gs.blk_snd2_tids is None or gs.blk_snd_edge_ids is None:
-            return False
+            return None
         if os.environ.get("MAGNET_TPU_NO_FUSED2"):
-            return False
+            return None
         bpe = 2 if self.dtype == jnp.bfloat16 else 4
-        return n_pad * hdim * bpe <= self._FUSED2_TABLE_BYTES
+        if n_pad * hdim * bpe <= self._FUSED2_TABLE_BYTES:
+            return "vmem"
+        if (gs.blk_chunk_ct is not None
+                and not os.environ.get("MAGNET_TPU_NO_FUSED2H")):
+            return "hbm"
+        return None
 
     def _call_fused(self, x, e, gs, e_scale=None):
         from magnet_tpu.ops.pallas_kernels import (
             fused_edge_tail_agg,
             fused_edge_tail_agg2,
+            fused_edge_tail_agg2h,
             fused_edge_tail_agg2r,
         )
 
@@ -212,16 +221,21 @@ class InteractionNetwork(fnn.Module):
         wr, br, wo, bo = self.w_rest, self.b_rest, self.w_out, self.b_out
         if self.dtype is not None:
             wr, br, wo, bo = (a.astype(self.dtype) for a in (wr, br, wo, bo))
-        if self._use_fused2(gs, n_pad, hdim):
-            # in-kernel sender gather: p_xj stays a VMEM-resident table,
-            # the (E, H) gathered array never exists in HBM (the XLA
-            # gather was the largest non-kernel cost — profile_bench.py)
+        f2mode = self._fused2_mode(gs, n_pad, hdim)
+        if f2mode:
+            # in-kernel sender gather: p_xj stays a resident table (VMEM,
+            # or HBM with per-chunk window DMAs on large meshes); the
+            # (E, H) gathered array never exists in HBM (the XLA gather
+            # was the largest non-kernel cost — profile_bench.py)
             pxj_pad = jnp.pad(p_xj, ((0, n_pad - n), (0, 0)))
             import os as _os
             if (gs.blk_chunk_ct is not None
-                    and not _os.environ.get("MAGNET_TPU_NO_FUSED2R")):
+                    and not (f2mode == "vmem"
+                             and _os.environ.get("MAGNET_TPU_NO_FUSED2R"))):
                 # ragged flat live-chunk grid: dead chunks never DMA
-                agg_sum = fused_edge_tail_agg2r(
+                fn = (fused_edge_tail_agg2r if f2mode == "vmem"
+                      else fused_edge_tail_agg2h)
+                agg_sum = fn(
                     pe.reshape(t, et, hdim),
                     pxj_pad,
                     pxi_pad.reshape(t, tile_n, hdim),

@@ -1318,7 +1318,7 @@ fused_edge_tail_agg2.defvjp(_fused2_fwd, _fused2_bwd)
 
 def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                         ln_s, ln_b, tids, sl2, recv_local, mask,
-                        ct, cc, flag):
+                        ct, cc, flag, hbm_table=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1344,7 +1344,7 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
     def kernel(ct_ref, cc_ref, fl_ref, tid_ref,
                pe_ref, pxj_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref,
                ls_ref, lb_ref, sl_ref, recv_ref, mask_ref,
-               out_ref, g0_ref):
+               out_ref, g0_ref, *win):
         i = pl.program_id(0)
         t = ct_ref[i]
         ec = cc_ref[i]
@@ -1356,6 +1356,24 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
 
         @pl.when(fl_ref[i] == 1)
         def _():
+            if hbm_table:
+                # sender table stays in HBM; DMA the K referenced 128-row
+                # windows into scratch (issue all, then wait per use)
+                win_ref, sem = win
+                cps = []
+                for k in range(K):
+                    tid = tid_ref[t, ec, k]
+                    cp = pltpu.make_async_copy(
+                        pxj_ref.at[pl.ds(jnp.maximum(tid, 0) * 128, 128)],
+                        win_ref.at[pl.ds(k * 128, 128)],
+                        sem.at[k],
+                    )
+
+                    @pl.when(tid >= 0)
+                    def _(cp=cp):
+                        cp.start()
+
+                    cps.append(cp)
             sl = sl_ref[0, 0]
             g0_ref[...] = jnp.zeros((chunk, H), jnp.float32)
             cols128 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
@@ -1364,10 +1382,14 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
 
                 @pl.when(tid >= 0)
                 def _(k=k, tid=tid):
-                    base = pl.multiple_of(tid * 128, 128)
-                    win = pxj_ref[pl.ds(base, 128), :]
+                    if hbm_table:
+                        cps[k].wait()
+                        w_rows = win[0][pl.ds(k * 128, 128), :]
+                    else:
+                        base = pl.multiple_of(tid * 128, 128)
+                        w_rows = pxj_ref[pl.ds(base, 128), :]
                     ohk = (cols128 == (sl - k * 128)[:, None]).astype(dt)
-                    g0_ref[...] += _dot(ohk, win.astype(dt))
+                    g0_ref[...] += _dot(ohk, w_rows.astype(dt))
 
             recv = recv_ref[0, 0]
             cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
@@ -1389,13 +1411,19 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
 
     full = lambda *shape: pl.BlockSpec(
         shape, lambda i, ct, cc, fl, tid: (0,) * len(shape))
+    pxj_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_table
+                else full(n_pad, H))
+    scratch = [pltpu.VMEM((chunk, H), jnp.float32)]
+    if hbm_table:
+        scratch += [pltpu.VMEM((K * 128, H), pxj.dtype),
+                    pltpu.SemaphoreType.DMA((K,))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(ncl,),
         in_specs=[
             pl.BlockSpec((1, chunk, H),
                          lambda i, ct, cc, fl, tid: (ct[i], cc[i], 0)),
-            full(n_pad, H),                                  # pxj table
+            pxj_spec,                                        # pxj table
             pl.BlockSpec((1, tile_n, H),
                          lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
             full(max(L1, 1), H, H),
@@ -1413,7 +1441,7 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         ],
         out_specs=pl.BlockSpec((1, tile_n, C),
                                lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
-        scratch_shapes=[pltpu.VMEM((chunk, H), jnp.float32)],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel,
@@ -1431,7 +1459,7 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
 
 def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                         ln_s, ln_b, tids, sl2, recv_local, mask,
-                        ct, cc, flag, g):
+                        ct, cc, flag, g, hbm_table=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1466,7 +1494,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                pe_ref, pxj_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref,
                ls_ref, sl_ref, recv_ref, mask_ref, g_ref,
                dz_ref, dpxi_ref, dwr_ref, dbr_ref, dwo_ref, dbo_ref,
-               dls_ref, dlb_ref, g0_ref):
+               dls_ref, dlb_ref, g0_ref, *win):
         i = pl.program_id(0)
         t = ct_ref[i]
         ec = cc_ref[i]
@@ -1491,6 +1519,22 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
 
         @pl.when(fl_ref[i] == 1)
         def _():
+            if hbm_table:
+                win_ref, sem = win
+                cps = []
+                for k in range(K):
+                    tid = tid_ref[t, ec, k]
+                    cp = pltpu.make_async_copy(
+                        pxj_ref.at[pl.ds(jnp.maximum(tid, 0) * 128, 128)],
+                        win_ref.at[pl.ds(k * 128, 128)],
+                        sem.at[k],
+                    )
+
+                    @pl.when(tid >= 0)
+                    def _(cp=cp):
+                        cp.start()
+
+                    cps.append(cp)
             sl = sl_ref[0, 0]
             g0_ref[...] = jnp.zeros((chunk, H), jnp.float32)
             cols128 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
@@ -1499,10 +1543,14 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
 
                 @pl.when(tid >= 0)
                 def _(k=k, tid=tid):
-                    base = pl.multiple_of(tid * 128, 128)
-                    win = pxj_ref[pl.ds(base, 128), :]
+                    if hbm_table:
+                        cps[k].wait()
+                        w_rows = win[0][pl.ds(k * 128, 128), :]
+                    else:
+                        base = pl.multiple_of(tid * 128, 128)
+                        w_rows = pxj_ref[pl.ds(base, 128), :]
                     ohk = (cols128 == (sl - k * 128)[:, None]).astype(dt)
-                    g0_ref[...] += _dot(ohk, win.astype(dt))
+                    g0_ref[...] += _dot(ohk, w_rows.astype(dt))
 
             recv = recv_ref[0, 0]
             m = mask_ref[0, 0]
@@ -1585,13 +1633,19 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         full(1, C),
         full(1, C),
     )
+    pxj_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_table
+                else full(n_pad, H))
+    scratch = [pltpu.VMEM((chunk, H), jnp.float32)]
+    if hbm_table:
+        scratch += [pltpu.VMEM((K * 128, H), pxj.dtype),
+                    pltpu.SemaphoreType.DMA((K,))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(ncl,),
         in_specs=[
             pl.BlockSpec((1, chunk, H),
                          lambda i, ct, cc, fl, tid: (ct[i], cc[i], 0)),
-            full(n_pad, H),
+            pxj_spec,
             pl.BlockSpec((1, tile_n, H),
                          lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
             full(max(L1, 1), H, H),
@@ -1609,7 +1663,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                          lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
         ],
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((chunk, H), jnp.float32)],
+        scratch_shapes=scratch,
     )
     dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb = pl.pallas_call(
         kernel,
@@ -1635,79 +1689,90 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
 
 
 def _fused2r_impl(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
-                  ln_s, ln_b, tids, sl2, recv_local, mask, ct, cc, flag):
+                  ln_s, ln_b, tids, sl2, recv_local, mask, ct, cc, flag,
+                  hbm_table=False):
     if _use_pallas():
         return _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest,
                                    w_out, b_out, ln_s, ln_b, tids, sl2,
-                                   recv_local, mask, ct, cc, flag)
+                                   recv_local, mask, ct, cc, flag,
+                                   hbm_table=hbm_table)
     return _fused2_ref_impl(pe, pxj, pxi, w_rest, b_rest, w_out,
                             b_out, ln_s, ln_b, tids, sl2, recv_local, mask)
 
 
-@jax.custom_vjp
-def fused_edge_tail_agg2r(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
-                          ln_s, ln_b, tids, sl2, recv_local, mask,
-                          ct, cc, flag, snd_edge_ids, snd_local):
-    """fused_edge_tail_agg2 on the ragged flat live-chunk grid: identical
-    math and metadata, plus the scalar-prefetched visit list (ct, cc,
-    flag) from models/common.py:_chunk_list.  Dead chunks are never
-    DMA'd or visited.  Returns (T, tile_n, C) float32 masked sums."""
-    return _fused2r_impl(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
-                         ln_s, ln_b, tids, sl2, recv_local, mask,
-                         ct, cc, flag)
+def _make_fused2r(hbm_table: bool):
+    @jax.custom_vjp
+    def f2r(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+            ln_s, ln_b, tids, sl2, recv_local, mask,
+            ct, cc, flag, snd_edge_ids, snd_local):
+        return _fused2r_impl(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                             ln_s, ln_b, tids, sl2, recv_local, mask,
+                             ct, cc, flag, hbm_table=hbm_table)
 
+    def fwd(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+            ln_s, ln_b, tids, sl2, recv_local, mask,
+            ct, cc, flag, snd_edge_ids, snd_local):
+        out = _fused2r_impl(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                            ln_s, ln_b, tids, sl2, recv_local, mask,
+                            ct, cc, flag, hbm_table=hbm_table)
+        return out, (pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s,
+                     ln_b, tids, sl2, recv_local, mask, ct, cc, flag,
+                     snd_edge_ids, snd_local)
 
-def _fused2r_fwd(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
-                 ln_s, ln_b, tids, sl2, recv_local, mask,
-                 ct, cc, flag, snd_edge_ids, snd_local):
-    out = _fused2r_impl(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
-                        ln_s, ln_b, tids, sl2, recv_local, mask,
-                        ct, cc, flag)
-    return out, (pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
-                 tids, sl2, recv_local, mask, ct, cc, flag,
-                 snd_edge_ids, snd_local)
+    def bwd(res, g):
+        (pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+         tids, sl2, recv_local, mask, ct, cc, flag,
+         snd_edge_ids, snd_local) = res
+        if not _use_pallas():
+            def f(pe_, pxj_, pxi_, wr_, br_, wo_, bo_, ls_, lb_):
+                return _fused2_ref_impl(pe_, pxj_, pxi_, wr_, br_, wo_,
+                                        bo_, ls_, lb_, tids, sl2,
+                                        recv_local, mask)
 
+            _, vjp = jax.vjp(f, pe, pxj, pxi, w_rest, b_rest, w_out,
+                             b_out, ln_s, ln_b)
+            dpe_r, dpxj_r, dpxi, dwr, dbr, dwo, dbo, dls, dlb = vjp(g)
+            return (dpe_r.astype(pe.dtype), dpxj_r.astype(pxj.dtype),
+                    dpxi.astype(pxi.dtype), dwr.astype(w_rest.dtype),
+                    dbr.astype(b_rest.dtype), dwo.astype(w_out.dtype),
+                    dbo.astype(b_out.dtype), dls.astype(ln_s.dtype),
+                    dlb.astype(ln_b.dtype), None, None, None, None,
+                    None, None, None, None, None)
 
-def _fused2r_bwd(res, g):
-    (pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
-     tids, sl2, recv_local, mask, ct, cc, flag,
-     snd_edge_ids, snd_local) = res
-    if not _use_pallas():
-        def f(pe_, pxj_, pxi_, wr_, br_, wo_, bo_, ls_, lb_):
-            return _fused2_ref_impl(pe_, pxj_, pxi_, wr_, br_, wo_,
-                                    bo_, ls_, lb_, tids, sl2, recv_local,
-                                    mask)
-
-        _, vjp = jax.vjp(f, pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
-                         ln_s, ln_b)
-        dpe_r, dpxj_r, dpxi, dwr, dbr, dwo, dbo, dls, dlb = vjp(g)
-        return (dpe_r.astype(pe.dtype), dpxj_r.astype(pxj.dtype),
+        dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb = _fused2r_bwd_pallas(
+            pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+            tids, sl2, recv_local, mask, ct, cc, flag, g,
+            hbm_table=hbm_table)
+        # d_pxj: reduce d_z into sender rows via the transpose blocking
+        T, E, H = pe.shape
+        dz_flat = dz.reshape(T * E, H)
+        padded = jnp.concatenate(
+            [dz_flat, jnp.zeros((1, H), dz_flat.dtype)], 0)
+        ts, ets = snd_local.shape
+        gathered = jnp.take(padded, snd_edge_ids.reshape(-1),
+                            axis=0).reshape(ts, ets, H)
+        smask = (snd_edge_ids < T * E).astype(jnp.float32)
+        dpxj = blocked_segment_sum(gathered, snd_local, smask,
+                                   128).reshape(-1, H)
+        dpxj = jnp.pad(dpxj, ((0, pxj.shape[0] - dpxj.shape[0]), (0, 0)))
+        return (dz.astype(pe.dtype), dpxj.astype(pxj.dtype),
                 dpxi.astype(pxi.dtype), dwr.astype(w_rest.dtype),
                 dbr.astype(b_rest.dtype), dwo.astype(w_out.dtype),
                 dbo.astype(b_out.dtype), dls.astype(ln_s.dtype),
                 dlb.astype(ln_b.dtype), None, None, None, None,
                 None, None, None, None, None)
 
-    dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb = _fused2r_bwd_pallas(
-        pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
-        tids, sl2, recv_local, mask, ct, cc, flag, g)
-    # d_pxj: reduce d_z into sender rows via the transpose blocking
-    T, E, H = pe.shape
-    dz_flat = dz.reshape(T * E, H)
-    padded = jnp.concatenate([dz_flat, jnp.zeros((1, H), dz_flat.dtype)], 0)
-    ts, ets = snd_local.shape
-    gathered = jnp.take(padded, snd_edge_ids.reshape(-1), axis=0).reshape(
-        ts, ets, H)
-    smask = (snd_edge_ids < T * E).astype(jnp.float32)
-    dpxj = blocked_segment_sum(gathered, snd_local, smask, 128).reshape(
-        -1, H)
-    dpxj = jnp.pad(dpxj, ((0, pxj.shape[0] - dpxj.shape[0]), (0, 0)))
-    return (dz.astype(pe.dtype), dpxj.astype(pxj.dtype),
-            dpxi.astype(pxi.dtype), dwr.astype(w_rest.dtype),
-            dbr.astype(b_rest.dtype), dwo.astype(w_out.dtype),
-            dbo.astype(b_out.dtype), dls.astype(ln_s.dtype),
-            dlb.astype(ln_b.dtype), None, None, None, None,
-            None, None, None, None, None)
+    f2r.defvjp(fwd, bwd)
+    return f2r
 
 
-fused_edge_tail_agg2r.defvjp(_fused2r_fwd, _fused2r_bwd)
+#: fused2 math on the ragged flat live-chunk grid (scalar-prefetched
+#: visit list from models/common.py:_chunk_list); sender table
+#: VMEM-resident.  Returns (T, tile_n, C) float32 masked sums.
+fused_edge_tail_agg2r = _make_fused2r(hbm_table=False)
+
+#: same, but the sender table stays in HBM and the kernel DMAs only the
+#: K referenced 128-row windows per chunk — in-kernel sender gather at
+#: mesh sizes whose projected node table exceeds the VMEM budget (e.g.
+#: the 256^2 stretch workload: 65k nodes x 128 x4B = 33 MB).
+fused_edge_tail_agg2h = _make_fused2r(hbm_table=True)

@@ -715,3 +715,40 @@ def test_fused2r_grads_interpret(monkeypatch):
                                    atol=1e-4, err_msg=name)
     # the dead chunk's d_z rows are exactly zero
     np.testing.assert_array_equal(np.asarray(got[0][0, chunk:]), 0.0)
+
+
+def test_fused2h_hbm_table_interpret(monkeypatch):
+    """HBM-table variant (per-chunk sender-window DMAs, interpret mode):
+    fwd matches the reference; bwd matches autodiff."""
+    from magnet_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(43)
+    a = _fused2_args(rng, T=2, nc=2, chunk=128, H=64, C=64, L1=1, K=3,
+                     n=500)
+    ct, cc, fl = _chunk_list_args(a)
+    args = (a["pe"], a["pxj"], a["pxi"], a["wr"], a["br"], a["wo"], a["bo"],
+            a["ls"], a["lb"], a["tids"], a["sl"], a["recv"], a["mask"])
+    ref = pk._fused2_ref_impl(*args)
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    out = pk._fused2r_fwd_pallas(*args, ct, cc, fl, hbm_table=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+    order = ("pe", "pxj", "pxi", "wr", "br", "wo", "bo", "ls", "lb")
+    g = jnp.asarray(rng.normal(size=ref.shape).astype(np.float32))
+
+    def ref_loss(*p):
+        return jnp.sum(pk._fused2_ref_impl(
+            *p, a["tids"], a["sl"], a["recv"], a["mask"]) * g)
+
+    want = jax.grad(ref_loss, argnums=tuple(range(9)))(
+        *[a[k] for k in order])
+    got = pk._fused2r_bwd_pallas(
+        *[a[k] for k in order], a["tids"], a["sl"], a["recv"], a["mask"],
+        ct, cc, fl, g, hbm_table=True)
+    names = ("pe", "pxi", "wr", "br", "wo", "bo", "ls", "lb")
+    want_sel = (want[0], want[2], want[3], want[4], want[5], want[6],
+                want[7], want[8])
+    for name, w, h in zip(names, want_sel, got):
+        np.testing.assert_allclose(np.asarray(h), np.asarray(w), rtol=1e-3,
+                                   atol=1e-4, err_msg=name)
