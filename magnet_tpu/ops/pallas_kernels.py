@@ -1459,7 +1459,8 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
 
 def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                         ln_s, ln_b, tids, sl2, recv_local, mask,
-                        ct, cc, flag, g, hbm_table=False):
+                        ct, cc, flag, g, hbm_table=False,
+                        dpxj_in_kernel=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1494,7 +1495,11 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                pe_ref, pxj_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref,
                ls_ref, sl_ref, recv_ref, mask_ref, g_ref,
                dz_ref, dpxi_ref, dwr_ref, dbr_ref, dwo_ref, dbo_ref,
-               dls_ref, dlb_ref, g0_ref, *win):
+               dls_ref, dlb_ref, *rest):
+        if dpxj_in_kernel:
+            dpxj_ref, g0_ref, *win = rest
+        else:
+            g0_ref, *win = rest
         i = pl.program_id(0)
         t = ct_ref[i]
         ec = cc_ref[i]
@@ -1508,6 +1513,8 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             dbo_ref[...] = jnp.zeros_like(dbo_ref)
             dls_ref[...] = jnp.zeros_like(dls_ref)
             dlb_ref[...] = jnp.zeros_like(dlb_ref)
+            if dpxj_in_kernel:
+                dpxj_ref[...] = jnp.zeros_like(dpxj_ref)
 
         @pl.when(new_tile)
         def _():
@@ -1596,6 +1603,22 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             oh_a = (rws == recv[None, :]).astype(dt)
             dpxi_ref[0] = dpxi_ref[0] + _dot(oh_a, d_h.astype(dt))
 
+            if dpxj_in_kernel:
+                # d_pxj accumulated in-kernel via the transposed sender
+                # one-hots (VMEM-resident (n_pad, H) output) — replaces
+                # the E-sized XLA transpose-gather + segment sum
+                d_hc = d_h.astype(dt)
+                for k in range(K):
+                    tid = tid_ref[t, ec, k]
+
+                    @pl.when(tid >= 0)
+                    def _(k=k, tid=tid):
+                        ohk = (cols128
+                               == (sl - k * 128)[:, None]).astype(dt)
+                        sli = pl.ds(tid * 128, 128)
+                        dpxj_ref[sli, :] = (dpxj_ref[sli, :]
+                                            + _dot_t(ohk, d_hc))
+
             if L1:
                 dwr_new = jnp.stack(dwr_list[::-1])
                 dbr_new = jnp.stack(dbr_list[::-1])
@@ -1633,6 +1656,9 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         full(1, C),
         full(1, C),
     )
+    if dpxj_in_kernel:
+        outs = outs + (jax.ShapeDtypeStruct((n_pad, H), jnp.float32),)
+        out_specs = out_specs + (full(n_pad, H),)
     pxj_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_table
                 else full(n_pad, H))
     scratch = [pltpu.VMEM((chunk, H), jnp.float32)]
@@ -1665,7 +1691,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
-    dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         interpret=bool(os.environ.get("MAGNET_TPU_PALLAS_INTERPRET")),
@@ -1679,13 +1705,15 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         ),
     )(ct, cc, flag, tids, pe, pxj, pxi, w_rest, b_rest, w_out, b_out2,
       ln_s2, sl3, recv3, mask3, g)
+    dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb = res[:8]
+    dpxj = res[8] if dpxj_in_kernel else None
     # unlisted dead chunks were never written — zero them (NaN-safe select)
     dz = jnp.where((mask > 0).reshape(T, E, 1), dz, 0.0)
     if not L1:
         dwr = jnp.zeros((0, H, H), jnp.float32)
         dbr = jnp.zeros((0, H), jnp.float32)
-    return dz, dpxi, dwr, dbr, dwo, dbo.reshape(C), dls.reshape(C), \
-        dlb.reshape(C)
+    return (dz, dpxi, dwr, dbr, dwo, dbo.reshape(C), dls.reshape(C),
+            dlb.reshape(C), dpxj)
 
 
 def _fused2r_impl(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
@@ -1739,22 +1767,29 @@ def _make_fused2r(hbm_table: bool):
                     dlb.astype(ln_b.dtype), None, None, None, None,
                     None, None, None, None, None)
 
-        dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb = _fused2r_bwd_pallas(
+        # d_pxj accumulates in-kernel (VMEM-resident (n_pad, H) f32
+        # output) when it fits; the transpose-blocking reduce is the
+        # fallback (and the only option for the HBM-table variant)
+        T, E, H = pe.shape
+        in_kernel = (not hbm_table
+                     and pxj.shape[0] * H * 4 <= 6 * 2**20)
+        dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb, dpxj = _fused2r_bwd_pallas(
             pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
             tids, sl2, recv_local, mask, ct, cc, flag, g,
-            hbm_table=hbm_table)
-        # d_pxj: reduce d_z into sender rows via the transpose blocking
-        T, E, H = pe.shape
-        dz_flat = dz.reshape(T * E, H)
-        padded = jnp.concatenate(
-            [dz_flat, jnp.zeros((1, H), dz_flat.dtype)], 0)
-        ts, ets = snd_local.shape
-        gathered = jnp.take(padded, snd_edge_ids.reshape(-1),
-                            axis=0).reshape(ts, ets, H)
-        smask = (snd_edge_ids < T * E).astype(jnp.float32)
-        dpxj = blocked_segment_sum(gathered, snd_local, smask,
-                                   128).reshape(-1, H)
-        dpxj = jnp.pad(dpxj, ((0, pxj.shape[0] - dpxj.shape[0]), (0, 0)))
+            hbm_table=hbm_table, dpxj_in_kernel=in_kernel)
+        if dpxj is None:
+            # reduce d_z into sender rows via the transpose blocking
+            dz_flat = dz.reshape(T * E, H)
+            padded = jnp.concatenate(
+                [dz_flat, jnp.zeros((1, H), dz_flat.dtype)], 0)
+            ts, ets = snd_local.shape
+            gathered = jnp.take(padded, snd_edge_ids.reshape(-1),
+                                axis=0).reshape(ts, ets, H)
+            smask = (snd_edge_ids < T * E).astype(jnp.float32)
+            dpxj = blocked_segment_sum(gathered, snd_local, smask,
+                                       128).reshape(-1, H)
+            dpxj = jnp.pad(
+                dpxj, ((0, pxj.shape[0] - dpxj.shape[0]), (0, 0)))
         return (dz.astype(pe.dtype), dpxj.astype(pxj.dtype),
                 dpxi.astype(pxi.dtype), dwr.astype(w_rest.dtype),
                 dbr.astype(b_rest.dtype), dwo.astype(w_out.dtype),

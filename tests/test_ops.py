@@ -706,13 +706,16 @@ def test_fused2r_grads_interpret(monkeypatch):
     monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
     got = pk._fused2r_bwd_pallas(
         *[a[k] for k in order], a["tids"], a["sl"], a["recv"], a["mask"],
-        ct, cc, fl, g)
+        ct, cc, fl, g, dpxj_in_kernel=True)
     names = ("pe", "pxi", "wr", "br", "wo", "bo", "ls", "lb")
     want_sel = (want[0], want[2], want[3], want[4], want[5], want[6],
                 want[7], want[8])
-    for name, w, h in zip(names, want_sel, got):
+    for name, w, h in zip(names, want_sel, got[:8]):
         np.testing.assert_allclose(np.asarray(h), np.asarray(w), rtol=1e-3,
                                    atol=1e-4, err_msg=name)
+    # in-kernel d_pxj (transposed one-hot accumulation) matches autodiff
+    np.testing.assert_allclose(np.asarray(got[8]), np.asarray(want[1]),
+                               rtol=1e-3, atol=1e-4, err_msg="pxj")
     # the dead chunk's d_z rows are exactly zero
     np.testing.assert_array_equal(np.asarray(got[0][0, chunk:]), 0.0)
 
@@ -749,6 +752,7 @@ def test_fused2h_hbm_table_interpret(monkeypatch):
     names = ("pe", "pxi", "wr", "br", "wo", "bo", "ls", "lb")
     want_sel = (want[0], want[2], want[3], want[4], want[5], want[6],
                 want[7], want[8])
-    for name, w, h in zip(names, want_sel, got):
+    for name, w, h in zip(names, want_sel, got[:8]):
         np.testing.assert_allclose(np.asarray(h), np.asarray(w), rtol=1e-3,
                                    atol=1e-4, err_msg=name)
+    assert got[8] is None  # HBM mode keeps the transpose-reduce d_pxj
