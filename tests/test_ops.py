@@ -756,3 +756,35 @@ def test_fused2h_hbm_table_interpret(monkeypatch):
         np.testing.assert_allclose(np.asarray(h), np.asarray(w), rtol=1e-3,
                                    atol=1e-4, err_msg=name)
     assert got[8] is None  # HBM mode keeps the transpose-reduce d_pxj
+
+
+def test_chunk_list_sticky_across_batches():
+    """The flat live-chunk list length (NCL) is sticky across batches of
+    the same workload key, so the compiled fused2r kernel keeps a stable
+    shape; batch-pad entries carry flag=2 and repeat the last entry's
+    tile (no output-block revisiting breakage)."""
+    from magnet_tpu.models.common import (
+        _E_TILE_CACHE, build_radius_graph_batch)
+
+    rng = np.random.default_rng(44)
+    B, n = 2, 300
+    c1 = np.sort(rng.uniform(-1, 1, (B, n, 1)), axis=1)
+    c2 = np.sort(rng.uniform(-1, 1, (B, n, 1)), axis=1)
+    c1 = np.concatenate([c1, np.zeros_like(c1)], -1).astype(np.float32)
+    c2 = np.concatenate([c2, np.zeros_like(c2)], -1).astype(np.float32)
+    g1 = build_radius_graph_batch(c1, 0.05, loop=True)
+    g2 = build_radius_graph_batch(c2, 0.05, loop=True)
+    if g1.blk_chunk_ct is None or g2.blk_chunk_ct is None:
+        pytest.skip("snd2 layout absent at this size")
+    assert g1.blk_chunk_ct.shape == g2.blk_chunk_ct.shape
+    for g in (g1, g2):
+        ct = np.asarray(g.blk_chunk_ct)
+        fl = np.asarray(g.blk_chunk_flag)
+        for b in range(B):
+            # tiles appear in non-decreasing runs (accumulation contract)
+            real = fl[b] != 2
+            assert (np.diff(ct[b][real]) >= 0).all()
+            # pad entries repeat the last real entry's tile
+            if (~real).any():
+                last = ct[b][real][-1]
+                assert (ct[b][~real] == last).all()
