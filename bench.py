@@ -27,6 +27,23 @@ def main():
     import optax
     from flax import linen as fnn
 
+    # the axon relay occasionally fails backend init transiently
+    # ("UNAVAILABLE: TPU backend setup/compile error").  jax caches the
+    # failure, so retry by re-exec'ing the process (bounded by an env
+    # counter) rather than zeroing the benchmark run.
+    try:
+        jax.devices()
+    except Exception as e:  # pragma: no cover - infra flake path
+        import sys
+        tries = int(os.environ.get("BENCH_INIT_RETRY", "0"))
+        if tries >= 2:
+            raise
+        print(f"backend init failed ({e}); re-exec retry {tries + 1}/2",
+              flush=True)
+        time.sleep(60)
+        os.environ["BENCH_INIT_RETRY"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
     from magnet_tpu.models.common import batch_vmap, build_radius_graph_batch
     from magnet_tpu.nn.graphnet import GraphDecoder, GraphEncoder, GraphProcessor
     from magnet_tpu.train.optim import make_optimizer
