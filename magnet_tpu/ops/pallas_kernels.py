@@ -1318,11 +1318,20 @@ fused_edge_tail_agg2.defvjp(_fused2_fwd, _fused2_bwd)
 
 def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                         ln_s, ln_b, tids, sl2, recv_local, mask,
-                        ct, cc, flag, hbm_table=False):
+                        ct, cc, flag, hbm_table=False, we=None, be=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    T, E, H = pe.shape
+    fold = we is not None
+    if fold:
+        # pe is the raw (scan-invariant) edge latents e0 (T, E, Ce); the
+        # per-step projection e0 @ we + be happens in-kernel so the
+        # (E, H) projected array never exists in HBM
+        T, E, Ce = pe.shape
+        H = we.shape[1]
+        be2 = be.reshape(1, H)
+    else:
+        T, E, H = pe.shape
     tile_n = pxi.shape[1]
     L1 = w_rest.shape[0]
     C = w_out.shape[1]
@@ -1341,10 +1350,13 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         b_rest = jnp.zeros((1, H), jnp.float32)
     dt = pe.dtype
 
-    def kernel(ct_ref, cc_ref, fl_ref, tid_ref,
-               pe_ref, pxj_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref,
-               ls_ref, lb_ref, sl_ref, recv_ref, mask_ref,
-               out_ref, g0_ref, *win):
+    def kernel(ct_ref, cc_ref, fl_ref, tid_ref, pe_ref, *rest):
+        if fold:
+            we_ref, be_ref = rest[:2]
+            rest = rest[2:]
+        (pxj_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref,
+         ls_ref, lb_ref, sl_ref, recv_ref, mask_ref,
+         out_ref, g0_ref, *win) = rest
         i = pl.program_id(0)
         t = ct_ref[i]
         ec = cc_ref[i]
@@ -1395,7 +1407,11 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
             oh_g = (cols == recv[:, None]).astype(dt)
             gath = _dot(oh_g, pxi_ref[0])
-            h = jax.nn.relu(pe_ref[0] + g0_ref[...] + gath).astype(dt)
+            if fold:
+                pe_c = _dot(pe_ref[0], we_ref[:]) + be_ref[0][None, :]
+            else:
+                pe_c = pe_ref[0]
+            h = jax.nn.relu(pe_c + g0_ref[...] + gath).astype(dt)
             for k in range(L1):
                 h = jax.nn.relu(_dot(h, wr_ref[k])
                                 + br_ref[k][None, :]).astype(dt)
@@ -1417,12 +1433,15 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
     if hbm_table:
         scratch += [pltpu.VMEM((K * 128, H), pxj.dtype),
                     pltpu.SemaphoreType.DMA((K,))]
+    pe_spec = pl.BlockSpec(
+        (1, chunk, Ce if fold else H),
+        lambda i, ct, cc, fl, tid: (ct[i], cc[i], 0))
+    fold_specs = [full(Ce, H), full(1, H)] if fold else []
+    fold_args = [we, be2] if fold else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(ncl,),
-        in_specs=[
-            pl.BlockSpec((1, chunk, H),
-                         lambda i, ct, cc, fl, tid: (ct[i], cc[i], 0)),
+        in_specs=[pe_spec] + fold_specs + [
             pxj_spec,                                        # pxj table
             pl.BlockSpec((1, tile_n, H),
                          lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
@@ -1449,22 +1468,32 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         interpret=bool(os.environ.get("MAGNET_TPU_PALLAS_INTERPRET")),
         out_shape=jax.ShapeDtypeStruct((T, tile_n, C), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * T * E * (K * 128 + tile_n * 2 + L1 * H + C) * H // 2,
+            flops=2 * T * E * (K * 128 + tile_n * 2 + L1 * H + C
+                               + (Ce if fold else 0)) * H // 2,
             bytes_accessed=4 * (T * E * H + n_pad * H + T * tile_n * H),
             transcendentals=0,
         ),
-    )(ct, cc, flag, tids, pe, pxj, pxi, w_rest, b_rest, w_out, b_out2,
-      ln_s2, ln_b2, sl3, recv3, mask3)
+    )(ct, cc, flag, tids, pe, *fold_args, pxj, pxi, w_rest, b_rest,
+      w_out, b_out2, ln_s2, ln_b2, sl3, recv3, mask3)
 
 
 def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                         ln_s, ln_b, tids, sl2, recv_local, mask,
                         ct, cc, flag, g, hbm_table=False,
-                        dpxj_in_kernel=False):
+                        dpxj_in_kernel=False, we=None, be=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    T, E, H = pe.shape
+    fold = we is not None
+    if fold:
+        # pe is e0 (T, E, Ce); recompute the in-kernel projection and emit
+        # d_e0 (= d_h @ we^T) instead of d_z, plus dwe/dbe accumulators
+        T, E, Ce = pe.shape
+        H = we.shape[1]
+        be2 = be.reshape(1, H)
+    else:
+        T, E, H = pe.shape
+        Ce = H
     tile_n = pxi.shape[1]
     L1 = w_rest.shape[0]
     C = w_out.shape[1]
@@ -1491,11 +1520,17 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             preferred_element_type=jnp.float32,
         )
 
-    def kernel(ct_ref, cc_ref, fl_ref, tid_ref,
-               pe_ref, pxj_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref,
-               ls_ref, sl_ref, recv_ref, mask_ref, g_ref,
-               dz_ref, dpxi_ref, dwr_ref, dbr_ref, dwo_ref, dbo_ref,
-               dls_ref, dlb_ref, *rest):
+    def kernel(ct_ref, cc_ref, fl_ref, tid_ref, pe_ref, *rest):
+        if fold:
+            we_ref, be_ref = rest[:2]
+            rest = rest[2:]
+        (pxj_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref,
+         ls_ref, sl_ref, recv_ref, mask_ref, g_ref,
+         dz_ref, dpxi_ref, dwr_ref, dbr_ref, dwo_ref, dbo_ref,
+         dls_ref, dlb_ref, *rest) = rest
+        if fold:
+            dwe_ref, dbe_ref = rest[:2]
+            rest = rest[2:]
         if dpxj_in_kernel:
             dpxj_ref, g0_ref, *win = rest
         else:
@@ -1513,6 +1548,9 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             dbo_ref[...] = jnp.zeros_like(dbo_ref)
             dls_ref[...] = jnp.zeros_like(dls_ref)
             dlb_ref[...] = jnp.zeros_like(dlb_ref)
+            if fold:
+                dwe_ref[...] = jnp.zeros_like(dwe_ref)
+                dbe_ref[...] = jnp.zeros_like(dbe_ref)
             if dpxj_in_kernel:
                 dpxj_ref[...] = jnp.zeros_like(dpxj_ref)
 
@@ -1522,7 +1560,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
 
         @pl.when(fl_ref[i] == 0)
         def _():
-            dz_ref[0] = jnp.zeros((chunk, H), jnp.float32)
+            dz_ref[0] = jnp.zeros((chunk, Ce), jnp.float32)
 
         @pl.when(fl_ref[i] == 1)
         def _():
@@ -1565,7 +1603,11 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             oh_g = (cols == recv[:, None]).astype(dt)
             gath = _dot(oh_g, pxi_ref[0])
 
-            h = jax.nn.relu(pe_ref[0] + g0_ref[...] + gath).astype(dt)
+            if fold:
+                pe_c = _dot(pe_ref[0], we_ref[:]) + be_ref[0][None, :]
+            else:
+                pe_c = pe_ref[0]
+            h = jax.nn.relu(pe_c + g0_ref[...] + gath).astype(dt)
             hs = [h]
             for k in range(L1):
                 h = jax.nn.relu(_dot(h, wr_ref[k])
@@ -1598,7 +1640,14 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                 dbr_list.append(jnp.sum(d_h, axis=0))
                 d_h = _dot_rt(d_h.astype(dt), wr_ref[k])
             d_h = d_h * (hs[0].astype(jnp.float32) > 0)
-            dz_ref[0] = d_h
+            if fold:
+                d_h16 = d_h.astype(dt)
+                dz_ref[0] = _dot_rt(d_h16, we_ref[:])          # d_e0
+                dwe_ref[...] = dwe_ref[...] + _dot_t(pe_ref[0], d_h16)
+                dbe_ref[...] = dbe_ref[...] + jnp.sum(
+                    d_h, axis=0, keepdims=True)
+            else:
+                dz_ref[0] = d_h
             rws = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
             oh_a = (rws == recv[None, :]).astype(dt)
             dpxi_ref[0] = dpxi_ref[0] + _dot(oh_a, d_h.astype(dt))
@@ -1635,7 +1684,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
     full = lambda *shape: pl.BlockSpec(
         shape, lambda i, ct, cc, fl, tid: (0,) * len(shape))
     outs = (
-        jax.ShapeDtypeStruct((T, E, H), jnp.float32),        # d_z
+        jax.ShapeDtypeStruct((T, E, Ce), jnp.float32),       # d_z / d_e0
         jax.ShapeDtypeStruct((T, tile_n, H), jnp.float32),   # d_pxi
         jax.ShapeDtypeStruct((max(L1, 1), H, H), jnp.float32),
         jax.ShapeDtypeStruct((max(L1, 1), H), jnp.float32),
@@ -1645,7 +1694,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         jax.ShapeDtypeStruct((1, C), jnp.float32),
     )
     out_specs = (
-        pl.BlockSpec((1, chunk, H),
+        pl.BlockSpec((1, chunk, Ce),
                      lambda i, ct, cc, fl, tid: (ct[i], cc[i], 0)),
         pl.BlockSpec((1, tile_n, H),
                      lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
@@ -1656,6 +1705,10 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         full(1, C),
         full(1, C),
     )
+    if fold:
+        outs = outs + (jax.ShapeDtypeStruct((Ce, H), jnp.float32),
+                       jax.ShapeDtypeStruct((1, H), jnp.float32))
+        out_specs = out_specs + (full(Ce, H), full(1, H))
     if dpxj_in_kernel:
         outs = outs + (jax.ShapeDtypeStruct((n_pad, H), jnp.float32),)
         out_specs = out_specs + (full(n_pad, H),)
@@ -1665,12 +1718,15 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
     if hbm_table:
         scratch += [pltpu.VMEM((K * 128, H), pxj.dtype),
                     pltpu.SemaphoreType.DMA((K,))]
+    pe_spec = pl.BlockSpec(
+        (1, chunk, Ce if fold else H),
+        lambda i, ct, cc, fl, tid: (ct[i], cc[i], 0))
+    fold_specs = [full(Ce, H), full(1, H)] if fold else []
+    fold_args = [we, be2] if fold else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(ncl,),
-        in_specs=[
-            pl.BlockSpec((1, chunk, H),
-                         lambda i, ct, cc, fl, tid: (ct[i], cc[i], 0)),
+        in_specs=[pe_spec] + fold_specs + [
             pxj_spec,
             pl.BlockSpec((1, tile_n, H),
                          lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
@@ -1698,60 +1754,112 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         out_shape=outs,
         cost_estimate=pl.CostEstimate(
             flops=4 * T * E * (K * 128 + tile_n * 2 + 2 * L1 * H
-                               + 2 * C) * H // 2,
+                               + 2 * C + (2 * Ce if fold else 0)) * H // 2,
             bytes_accessed=4 * (2 * T * E * H + n_pad * H
                                 + T * tile_n * (H + C)),
             transcendentals=0,
         ),
-    )(ct, cc, flag, tids, pe, pxj, pxi, w_rest, b_rest, w_out, b_out2,
-      ln_s2, sl3, recv3, mask3, g)
+    )(ct, cc, flag, tids, pe, *fold_args, pxj, pxi, w_rest, b_rest,
+      w_out, b_out2, ln_s2, sl3, recv3, mask3, g)
     dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb = res[:8]
-    dpxj = res[8] if dpxj_in_kernel else None
+    res = res[8:]
+    if fold:
+        dwe, dbe = res[:2]
+        res = res[2:]
+    else:
+        dwe = dbe = None
+    dpxj = res[0] if dpxj_in_kernel else None
     # unlisted dead chunks were never written — zero them (NaN-safe select)
     dz = jnp.where((mask > 0).reshape(T, E, 1), dz, 0.0)
     if not L1:
         dwr = jnp.zeros((0, H, H), jnp.float32)
         dbr = jnp.zeros((0, H), jnp.float32)
     return (dz, dpxi, dwr, dbr, dwo, dbo.reshape(C), dls.reshape(C),
-            dlb.reshape(C), dpxj)
+            dlb.reshape(C), dpxj, dwe, dbe)
 
 
-def _fused2r_impl(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
-                  ln_s, ln_b, tids, sl2, recv_local, mask, ct, cc, flag,
-                  hbm_table=False):
-    if _use_pallas():
-        return _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest,
-                                   w_out, b_out, ln_s, ln_b, tids, sl2,
-                                   recv_local, mask, ct, cc, flag,
-                                   hbm_table=hbm_table)
+def _fused2re_ref_impl(e0, we, be, pxj, pxi, w_rest, b_rest, w_out,
+                       b_out, ln_s, ln_b, tids, sl2, recv_local, mask):
+    """jnp oracle for the fold-e variant: project e0 (f32 accumulation,
+    like the kernel's MXU dot) then run the fused2 oracle."""
+    pe = (jnp.einsum("tec,ch->teh", e0, we,
+                     preferred_element_type=jnp.float32)
+          + be.astype(jnp.float32))
     return _fused2_ref_impl(pe, pxj, pxi, w_rest, b_rest, w_out,
                             b_out, ln_s, ln_b, tids, sl2, recv_local, mask)
 
 
-def _make_fused2r(hbm_table: bool):
+def _fused2r_impl(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                  ln_s, ln_b, tids, sl2, recv_local, mask, ct, cc, flag,
+                  hbm_table=False, we=None, be=None):
+    if _use_pallas():
+        return _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest,
+                                   w_out, b_out, ln_s, ln_b, tids, sl2,
+                                   recv_local, mask, ct, cc, flag,
+                                   hbm_table=hbm_table, we=we, be=be)
+    if we is not None:
+        return _fused2re_ref_impl(pe, we, be, pxj, pxi, w_rest, b_rest,
+                                  w_out, b_out, ln_s, ln_b, tids, sl2,
+                                  recv_local, mask)
+    return _fused2_ref_impl(pe, pxj, pxi, w_rest, b_rest, w_out,
+                            b_out, ln_s, ln_b, tids, sl2, recv_local, mask)
+
+
+def _make_fused2r(hbm_table: bool, fold_e: bool = False):
+    """fold_e=False: takes the pre-projected pe (T,E,H).
+    fold_e=True: takes the raw edge latents e0 (T,E,Ce) plus the (Ce,H)
+    projection weight / (H,) bias; the projection runs in-kernel so the
+    (E,H) array (and its cotangent pass) never exists in HBM.  Callers
+    fold any scalar edge scale into ``we`` (autodiff through that product
+    recovers d_scale outside the kernel)."""
+
+    def _impl_args(pe, we, be):
+        return dict(hbm_table=hbm_table,
+                    we=we if fold_e else None,
+                    be=be if fold_e else None)
+
     @jax.custom_vjp
-    def f2r(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+    def f2r(pe, we, be, pxj, pxi, w_rest, b_rest, w_out, b_out,
             ln_s, ln_b, tids, sl2, recv_local, mask,
             ct, cc, flag, snd_edge_ids, snd_local):
         return _fused2r_impl(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                              ln_s, ln_b, tids, sl2, recv_local, mask,
-                             ct, cc, flag, hbm_table=hbm_table)
+                             ct, cc, flag, **_impl_args(pe, we, be))
 
-    def fwd(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+    def fwd(pe, we, be, pxj, pxi, w_rest, b_rest, w_out, b_out,
             ln_s, ln_b, tids, sl2, recv_local, mask,
             ct, cc, flag, snd_edge_ids, snd_local):
         out = _fused2r_impl(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                             ln_s, ln_b, tids, sl2, recv_local, mask,
-                            ct, cc, flag, hbm_table=hbm_table)
-        return out, (pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s,
-                     ln_b, tids, sl2, recv_local, mask, ct, cc, flag,
-                     snd_edge_ids, snd_local)
+                            ct, cc, flag, **_impl_args(pe, we, be))
+        return out, (pe, we, be, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                     ln_s, ln_b, tids, sl2, recv_local, mask, ct, cc,
+                     flag, snd_edge_ids, snd_local)
 
     def bwd(res, g):
-        (pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+        (pe, we, be, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
          tids, sl2, recv_local, mask, ct, cc, flag,
          snd_edge_ids, snd_local) = res
+        idx_nones = (None,) * 9
         if not _use_pallas():
+            if fold_e:
+                def f(pe_, we_, be_, pxj_, pxi_, wr_, br_, wo_, bo_,
+                      ls_, lb_):
+                    return _fused2re_ref_impl(
+                        pe_, we_, be_, pxj_, pxi_, wr_, br_, wo_, bo_,
+                        ls_, lb_, tids, sl2, recv_local, mask)
+
+                _, vjp = jax.vjp(f, pe, we, be, pxj, pxi, w_rest,
+                                 b_rest, w_out, b_out, ln_s, ln_b)
+                (dpe_r, dwe, dbe, dpxj_r, dpxi, dwr, dbr, dwo, dbo,
+                 dls, dlb) = vjp(g)
+                return (dpe_r.astype(pe.dtype), dwe.astype(we.dtype),
+                        dbe.astype(be.dtype), dpxj_r.astype(pxj.dtype),
+                        dpxi.astype(pxi.dtype), dwr.astype(w_rest.dtype),
+                        dbr.astype(b_rest.dtype), dwo.astype(w_out.dtype),
+                        dbo.astype(b_out.dtype), dls.astype(ln_s.dtype),
+                        dlb.astype(ln_b.dtype)) + idx_nones
+
             def f(pe_, pxj_, pxi_, wr_, br_, wo_, bo_, ls_, lb_):
                 return _fused2_ref_impl(pe_, pxj_, pxi_, wr_, br_, wo_,
                                         bo_, ls_, lb_, tids, sl2,
@@ -1760,25 +1868,34 @@ def _make_fused2r(hbm_table: bool):
             _, vjp = jax.vjp(f, pe, pxj, pxi, w_rest, b_rest, w_out,
                              b_out, ln_s, ln_b)
             dpe_r, dpxj_r, dpxi, dwr, dbr, dwo, dbo, dls, dlb = vjp(g)
-            return (dpe_r.astype(pe.dtype), dpxj_r.astype(pxj.dtype),
+            return (dpe_r.astype(pe.dtype), None, None,
+                    dpxj_r.astype(pxj.dtype),
                     dpxi.astype(pxi.dtype), dwr.astype(w_rest.dtype),
                     dbr.astype(b_rest.dtype), dwo.astype(w_out.dtype),
                     dbo.astype(b_out.dtype), dls.astype(ln_s.dtype),
-                    dlb.astype(ln_b.dtype), None, None, None, None,
-                    None, None, None, None, None)
+                    dlb.astype(ln_b.dtype)) + idx_nones
 
         # d_pxj accumulates in-kernel (VMEM-resident (n_pad, H) f32
         # output) when it fits; the transpose-blocking reduce is the
         # fallback (and the only option for the HBM-table variant)
-        T, E, H = pe.shape
+        T, E = pe.shape[:2]
+        H = we.shape[1] if fold_e else pe.shape[2]
         in_kernel = (not hbm_table
                      and pxj.shape[0] * H * 4 <= 6 * 2**20)
-        dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb, dpxj = _fused2r_bwd_pallas(
+        (dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb, dpxj, dwe,
+         dbe) = _fused2r_bwd_pallas(
             pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
             tids, sl2, recv_local, mask, ct, cc, flag, g,
-            hbm_table=hbm_table, dpxj_in_kernel=in_kernel)
+            hbm_table=hbm_table, dpxj_in_kernel=in_kernel,
+            **({"we": we, "be": be} if fold_e else {}))
         if dpxj is None:
-            # reduce d_z into sender rows via the transpose blocking
+            # reduce d_z into sender rows via the transpose blocking.
+            # fold-e caveat: d_z there is the projection cotangent
+            # d_h = d_e0 @ pinv(we)… not recoverable — so the fold-e
+            # variants always need either the in-kernel dpxj or a
+            # separate d_h emission; we re-derive d_h = d_e0 via the
+            # non-fold relationship only when not folding.
+            assert not fold_e, "fold-e requires in-kernel d_pxj or HBM path"
             dz_flat = dz.reshape(T * E, H)
             padded = jnp.concatenate(
                 [dz_flat, jnp.zeros((1, H), dz_flat.dtype)], 0)
@@ -1790,15 +1907,27 @@ def _make_fused2r(hbm_table: bool):
                                        128).reshape(-1, H)
             dpxj = jnp.pad(
                 dpxj, ((0, pxj.shape[0] - dpxj.shape[0]), (0, 0)))
-        return (dz.astype(pe.dtype), dpxj.astype(pxj.dtype),
+        return (dz.astype(pe.dtype),
+                dwe.astype(we.dtype) if fold_e else None,
+                dbe.astype(be.dtype) if fold_e else None,
+                dpxj.astype(pxj.dtype),
                 dpxi.astype(pxi.dtype), dwr.astype(w_rest.dtype),
                 dbr.astype(b_rest.dtype), dwo.astype(w_out.dtype),
                 dbo.astype(b_out.dtype), dls.astype(ln_s.dtype),
-                dlb.astype(ln_b.dtype), None, None, None, None,
-                None, None, None, None, None)
+                dlb.astype(ln_b.dtype)) + idx_nones
 
     f2r.defvjp(fwd, bwd)
-    return f2r
+    if fold_e:
+        return f2r
+
+    def f2r_nofold(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
+                   ln_s, ln_b, tids, sl2, recv_local, mask,
+                   ct, cc, flag, snd_edge_ids, snd_local):
+        return f2r(pe, None, None, pxj, pxi, w_rest, b_rest, w_out,
+                   b_out, ln_s, ln_b, tids, sl2, recv_local, mask,
+                   ct, cc, flag, snd_edge_ids, snd_local)
+
+    return f2r_nofold
 
 
 #: fused2 math on the ragged flat live-chunk grid (scalar-prefetched
