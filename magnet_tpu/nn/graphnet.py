@@ -201,63 +201,102 @@ class InteractionNetwork(fnn.Module):
             return "hbm"
         return None
 
+    # in-kernel d_pxj VMEM budget (f32 table; must mirror the in_kernel
+    # gate in ops/pallas_kernels.py:_make_fused2r.bwd — the fold-e
+    # backward has no transpose-blocking fallback)
+    _FOLDE_TABLE_BYTES = 6 * 2**20
+
     def _call_fused(self, x, e, gs, e_scale=None):
+        import os as _os
+
         from magnet_tpu.ops.pallas_kernels import (
             fused_edge_tail_agg,
             fused_edge_tail_agg2,
             fused_edge_tail_agg2h,
             fused_edge_tail_agg2r,
+            fused_edge_tail_agg2rf,
         )
 
         p_xi = self.e_w_xi(x)                                    # (N, H)
         p_xj = self.e_w_xj(x)                                    # (N, H)
-        pe = self._project_edges(e, e_scale)                     # (E, H)
         t, et = gs.blk_recv_local.shape
         tile_n = 128
         n_pad = t * tile_n
         n = x.shape[0]
-        hdim = pe.shape[-1]
+        hdim = self.mlp_hidden
         pxi_pad = jnp.pad(p_xi, ((0, n_pad - n), (0, 0)))
         wr, br, wo, bo = self.w_rest, self.b_rest, self.w_out, self.b_out
         if self.dtype is not None:
             wr, br, wo, bo = (a.astype(self.dtype) for a in (wr, br, wo, bo))
         f2mode = self._fused2_mode(gs, n_pad, hdim)
+        use_ragged = bool(
+            f2mode
+            and gs.blk_chunk_ct is not None
+            and not (f2mode == "vmem"
+                     and _os.environ.get("MAGNET_TPU_NO_FUSED2R"))
+        )
+        # fold-e: ship the raw scan-invariant edge latents e0 plus the
+        # (Ce, H) projection weight into the kernel — the projected (E, H)
+        # array (and its backward cotangent pass) never exists in HBM.
+        # Needs the ragged VMEM path and the in-kernel d_pxj budget.
+        fold = (
+            use_ragged
+            and f2mode == "vmem"
+            and n_pad * hdim * 4 <= self._FOLDE_TABLE_BYTES
+            and not _os.environ.get("MAGNET_TPU_NO_FOLDE")
+        )
         if f2mode:
             # in-kernel sender gather: p_xj stays a resident table (VMEM,
             # or HBM with per-chunk window DMAs on large meshes); the
             # (E, H) gathered array never exists in HBM (the XLA gather
             # was the largest non-kernel cost — profile_bench.py)
             pxj_pad = jnp.pad(p_xj, ((0, n_pad - n), (0, 0)))
-            import os as _os
-            if (gs.blk_chunk_ct is not None
-                    and not (f2mode == "vmem"
-                             and _os.environ.get("MAGNET_TPU_NO_FUSED2R"))):
+            common = (
+                pxj_pad,
+                pxi_pad.reshape(t, tile_n, hdim),
+                wr, br, wo, bo,
+                self.ln_scale, self.ln_bias,
+                gs.blk_snd2_tids, gs.blk_snd2_local,
+                gs.blk_recv_local, gs.edge_mask.reshape(t, et),
+            )
+            if fold:
+                if self.is_initializing():
+                    self.e_w_e(e[:1])  # create the Dense params
+                we = self.e_w_e.variables["params"]["kernel"]
+                be = self.e_w_e.variables["params"]["bias"]
+                e_in = e
+                if self.dtype is not None:
+                    we = we.astype(self.dtype)
+                    be = be.astype(self.dtype)
+                    e_in = e_in.astype(self.dtype)
+                if e_scale is not None:
+                    # Dense(s·e0) == e0 @ (s·W) + b exactly (s = 2^k);
+                    # autodiff through the product recovers the grads
+                    we = we * jnp.asarray(e_scale, we.dtype)
+                ce = e_in.shape[-1]
+                agg_sum = fused_edge_tail_agg2rf(
+                    e_in.reshape(t, et, ce), we, be, *common,
+                    gs.blk_chunk_ct, gs.blk_chunk_cc, gs.blk_chunk_flag,
+                    gs.blk_snd_edge_ids, gs.blk_snd_local,
+                )
+            elif use_ragged:
                 # ragged flat live-chunk grid: dead chunks never DMA
+                pe = self._project_edges(e, e_scale)             # (E, H)
                 fn = (fused_edge_tail_agg2r if f2mode == "vmem"
                       else fused_edge_tail_agg2h)
                 agg_sum = fn(
-                    pe.reshape(t, et, hdim),
-                    pxj_pad,
-                    pxi_pad.reshape(t, tile_n, hdim),
-                    wr, br, wo, bo,
-                    self.ln_scale, self.ln_bias,
-                    gs.blk_snd2_tids, gs.blk_snd2_local,
-                    gs.blk_recv_local, gs.edge_mask.reshape(t, et),
+                    pe.reshape(t, et, hdim), *common,
                     gs.blk_chunk_ct, gs.blk_chunk_cc, gs.blk_chunk_flag,
                     gs.blk_snd_edge_ids, gs.blk_snd_local,
                 )
             else:
+                pe = self._project_edges(e, e_scale)             # (E, H)
                 agg_sum = fused_edge_tail_agg2(
-                    pe.reshape(t, et, hdim),
-                    pxj_pad,
-                    pxi_pad.reshape(t, tile_n, hdim),
-                    wr, br, wo, bo,
-                    self.ln_scale, self.ln_bias,
-                    gs.blk_snd2_tids, gs.blk_snd2_local,
-                    gs.blk_recv_local, gs.edge_mask.reshape(t, et),
+                    pe.reshape(t, et, hdim), *common,
                     gs.blk_snd_edge_ids, gs.blk_snd_local,
                 )
         else:
+            pe = self._project_edges(e, e_scale)                 # (E, H)
             gathered = gather_nodes(p_xj, gs, "sender")
             h0 = gathered + pe                                   # (E, H)
             agg_sum = fused_edge_tail_agg(

@@ -1560,7 +1560,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
 
         @pl.when(fl_ref[i] == 0)
         def _():
-            dz_ref[0] = jnp.zeros((chunk, Ce), jnp.float32)
+            dz_ref[0] = jnp.zeros((chunk, Ce), dt)
 
         @pl.when(fl_ref[i] == 1)
         def _():
@@ -1640,14 +1640,17 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                 dbr_list.append(jnp.sum(d_h, axis=0))
                 d_h = _dot_rt(d_h.astype(dt), wr_ref[k])
             d_h = d_h * (hs[0].astype(jnp.float32) > 0)
+            # d_z / d_e0 is written once per chunk (no accumulation), so
+            # emitting it in the compute dtype halves its HBM write+read
+            # traffic; callers cast to the primal dtype anyway
             if fold:
                 d_h16 = d_h.astype(dt)
-                dz_ref[0] = _dot_rt(d_h16, we_ref[:])          # d_e0
+                dz_ref[0] = _dot_rt(d_h16, we_ref[:]).astype(dt)  # d_e0
                 dwe_ref[...] = dwe_ref[...] + _dot_t(pe_ref[0], d_h16)
                 dbe_ref[...] = dbe_ref[...] + jnp.sum(
                     d_h, axis=0, keepdims=True)
             else:
-                dz_ref[0] = d_h
+                dz_ref[0] = d_h.astype(dt)
             rws = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
             oh_a = (rws == recv[None, :]).astype(dt)
             dpxi_ref[0] = dpxi_ref[0] + _dot(oh_a, d_h.astype(dt))
@@ -1684,7 +1687,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
     full = lambda *shape: pl.BlockSpec(
         shape, lambda i, ct, cc, fl, tid: (0,) * len(shape))
     outs = (
-        jax.ShapeDtypeStruct((T, E, Ce), jnp.float32),       # d_z / d_e0
+        jax.ShapeDtypeStruct((T, E, Ce), dt),                # d_z / d_e0
         jax.ShapeDtypeStruct((T, tile_n, H), jnp.float32),   # d_pxi
         jax.ShapeDtypeStruct((max(L1, 1), H, H), jnp.float32),
         jax.ShapeDtypeStruct((max(L1, 1), H), jnp.float32),
@@ -1765,6 +1768,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
     res = res[8:]
     if fold:
         dwe, dbe = res[:2]
+        dbe = dbe.reshape(-1)
         res = res[2:]
     else:
         dwe = dbe = None
@@ -1940,3 +1944,11 @@ fused_edge_tail_agg2r = _make_fused2r(hbm_table=False)
 #: mesh sizes whose projected node table exceeds the VMEM budget (e.g.
 #: the 256^2 stretch workload: 65k nodes x 128 x4B = 33 MB).
 fused_edge_tail_agg2h = _make_fused2r(hbm_table=True)
+
+#: fold-e variant of the ragged-grid kernel: takes the raw scan-invariant
+#: edge latents e0 (T, E, Ce) plus the (Ce, H) first-layer edge projection
+#: weight/bias; the projection runs in-kernel so the per-mp-step projected
+#: (E, H) array (and its cotangent) never exists in HBM.  Backward
+#: requires the in-kernel d_pxj accumulation (VMEM-resident node table) —
+#: callers gate on the table budget.
+fused_edge_tail_agg2rf = _make_fused2r(hbm_table=False, fold_e=True)

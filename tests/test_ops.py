@@ -788,3 +788,93 @@ def test_chunk_list_sticky_across_batches():
             if (~real).any():
                 last = ct[b][real][-1]
                 assert (ct[b][~real] == last).all()
+
+
+def test_fused2rf_folde_interpret_matches_ref(monkeypatch):
+    """fold-e variant (in-kernel edge projection e0 @ we + be, interpret
+    mode): the public custom_vjp wrapper matches the jnp reference on the
+    forward and full autodiff on every differentiable input, with
+    Ce != H."""
+    from magnet_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(45)
+    Ce = 32
+    a = _fused2_args(rng, T=2, nc=2, chunk=128, H=64, C=64, L1=1, K=2)
+    a["e0"] = jnp.asarray(
+        rng.normal(size=(2, 256, Ce)).astype(np.float32) * 0.3)
+    a["we"] = jnp.asarray(rng.normal(size=(Ce, 64)).astype(np.float32) * 0.2)
+    a["be"] = jnp.asarray(rng.normal(size=(64,)).astype(np.float32) * 0.2)
+    ct, cc, fl = _chunk_list_args(a)
+    order = ("e0", "we", "be", "pxj", "pxi", "wr", "br", "wo", "bo",
+             "ls", "lb")
+    dummy_ids = jnp.zeros((1, 128), jnp.int32)
+    dummy_loc = jnp.zeros((1, 128), jnp.int32)
+    g = jnp.asarray(rng.normal(size=(2, 128, 64)).astype(np.float32))
+
+    def ref_loss(*p):
+        return jnp.sum(pk._fused2re_ref_impl(
+            *p, a["tids"], a["sl"], a["recv"], a["mask"]) * g)
+
+    def pallas_loss(*p):
+        return jnp.sum(pk.fused_edge_tail_agg2rf(
+            *p, a["tids"], a["sl"], a["recv"], a["mask"],
+            ct, cc, fl, dummy_ids, dummy_loc) * g)
+
+    args = [a[k] for k in order]
+    want_out = pk._fused2re_ref_impl(
+        *args, a["tids"], a["sl"], a["recv"], a["mask"])
+    want = jax.grad(ref_loss, argnums=tuple(range(len(order))))(*args)
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    got_out = pk.fused_edge_tail_agg2rf(
+        *args, a["tids"], a["sl"], a["recv"], a["mask"],
+        ct, cc, fl, dummy_ids, dummy_loc)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
+                               rtol=1e-4, atol=1e-4)
+    got = jax.grad(pallas_loss, argnums=tuple(range(len(order))))(*args)
+    for name, w, h in zip(order, want, got):
+        np.testing.assert_allclose(np.asarray(h), np.asarray(w), rtol=1e-3,
+                                   atol=1e-4, err_msg=name)
+
+
+def test_interaction_network_folde_path():
+    """End-to-end: the fold-e kernel path (raw e0 + in-kernel projection)
+    matches the pre-projected fused2r path on loss and grads, including
+    the e_scale power-of-two folding."""
+    import os
+
+    from magnet_tpu.nn.graphnet import InteractionNetwork
+    from magnet_tpu.models.common import batch_vmap, build_radius_graph_batch
+
+    rng = np.random.default_rng(46)
+    B, n, latent = 2, 260, 16
+    coords = np.sort(rng.uniform(-1, 1, (B, n, 1)), axis=1)
+    coords = np.concatenate([coords, np.zeros_like(coords)], -1)
+    g = build_radius_graph_batch(coords.astype(np.float32), 0.05, loop=True)
+    assert g.blk_chunk_ct is not None, "ragged chunk list should be present"
+
+    E = g.senders.shape[1]
+    x = jnp.asarray(rng.normal(size=(B, n, latent)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(B, E, latent)).astype(np.float32))
+    inet = batch_vmap(InteractionNetwork, in_axes=(0, 0, 0, None),
+                      node_out=latent, edge_out=latent, mlp_layers=2,
+                      mlp_hidden=latent)
+    params = inet.init(jax.random.PRNGKey(0), x, e, g, 2.0)
+
+    def loss(p, graph):
+        a, b = inet.apply(p, x, e, graph, 2.0)
+        return jnp.mean(a**2) + jnp.mean(b**2)
+
+    os.environ["MAGNET_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        l_fold, g_fold = jax.value_and_grad(loss)(params, g)
+        os.environ["MAGNET_TPU_NO_FOLDE"] = "1"
+        l_ref, g_ref = jax.value_and_grad(loss)(params, g)
+    finally:
+        os.environ.pop("MAGNET_TPU_PALLAS_INTERPRET", None)
+        os.environ.pop("MAGNET_TPU_NO_FOLDE", None)
+    np.testing.assert_allclose(float(l_fold), float(l_ref), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4),
+        g_ref, g_fold,
+    )
