@@ -63,18 +63,39 @@ class MPNNLayer(fnn.Module):
 
         if (gs.blk_recv_local is not None
                 and not os.environ.get("MAGNET_TPU_NO_FUSED")):
-            from magnet_tpu.ops.pallas_kernels import fused_mpnn_edge_agg
-
-            h0 = gather_nodes(send_side, gs, "sender")       # (E, H)
             t, et = gs.blk_recv_local.shape
             n_pad = t * 128
             n = x.shape[0]
             pr = jnp.pad(recv_side, ((0, n_pad - n), (0, 0)))
-            sums = fused_mpnn_edge_agg(
-                h0.reshape(t, et, hdim), pr.reshape(t, 128, hdim),
-                msg2_w, msg2_b,
-                gs.blk_recv_local, gs.edge_mask.reshape(t, et),
+            # v2r: both node gathers in-kernel on the ragged live-chunk
+            # grid — no (E, H) array exists in HBM in either direction.
+            # Gated on the sender-table VMEM budget (f32, in-kernel
+            # d_send accumulator).
+            use_v2r = (
+                gs.blk_snd2_tids is not None
+                and gs.blk_chunk_ct is not None
+                and n_pad * hdim * 4 <= 6 * 2**20
+                and not os.environ.get("MAGNET_TPU_NO_FUSED2")
             )
+            if use_v2r:
+                from magnet_tpu.ops.pallas_kernels import fused_mpnn_edge_agg2r
+
+                pxj_pad = jnp.pad(send_side, ((0, n_pad - n), (0, 0)))
+                sums = fused_mpnn_edge_agg2r(
+                    pxj_pad, pr.reshape(t, 128, hdim), msg2_w, msg2_b,
+                    gs.blk_snd2_tids, gs.blk_snd2_local,
+                    gs.blk_recv_local, gs.edge_mask.reshape(t, et),
+                    gs.blk_chunk_ct, gs.blk_chunk_cc, gs.blk_chunk_flag,
+                )
+            else:
+                from magnet_tpu.ops.pallas_kernels import fused_mpnn_edge_agg
+
+                h0 = gather_nodes(send_side, gs, "sender")   # (E, H)
+                sums = fused_mpnn_edge_agg(
+                    h0.reshape(t, et, hdim), pr.reshape(t, 128, hdim),
+                    msg2_w, msg2_b,
+                    gs.blk_recv_local, gs.edge_mask.reshape(t, et),
+                )
             agg = sums.reshape(n_pad, hdim)[:n] / jnp.maximum(gs.degree, 1.0)
             agg = agg.astype(x.dtype)
         else:

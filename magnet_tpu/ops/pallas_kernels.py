@@ -1952,3 +1952,330 @@ fused_edge_tail_agg2h = _make_fused2r(hbm_table=True)
 #: requires the in-kernel d_pxj accumulation (VMEM-resident node table) —
 #: callers gate on the table budget.
 fused_edge_tail_agg2rf = _make_fused2r(hbm_table=False, fold_e=True)
+
+
+# ---------------------------------------------------------------------------
+# Fused MPNN edge pipeline v2r: the Brandstetter message path with BOTH node
+# gathers in-kernel on the ragged flat live-chunk grid.
+#
+# Unlike the InteractionNetwork path, the MPNN message has no per-edge
+# feature input: msg = swish(Linear(swish(recv_side[i] + send_side[j]))).
+# With the sender gather in-kernel (predicated per-tile one-hot matmuls,
+# fused2-style) the ONLY E-sized HBM traffic left is the int32/f32 index
+# and mask vectors — no (E, H) array exists in the forward.  The backward
+# recomputes in VMEM and scatters d_z1 into BOTH node tables in-kernel
+# (d_recv per-tile accumulation; d_send via transposed one-hot matmuls
+# into a VMEM-resident (n_pad, H) accumulator), so no (E, H) cotangent
+# exists either.  Callers gate on the node-table VMEM budget.
+# ---------------------------------------------------------------------------
+
+
+def _mpnn2r_ref_impl(pxj, pr, w, b, tids, sl2, recv_local, mask):
+    """jnp oracle.  pxj (N_pad, H) sender-side table; pr (T, tile_n, H)
+    receiver-side table; tids (T, nc, K) int32 (pad -1); sl2 (T, E) =
+    slot*128 + local (pad -1); recv_local/mask (T, E) -> (T, tile_n, H)
+    f32 masked sums of swish(Linear(swish(send[j] + recv[i])))."""
+    T, E = recv_local.shape
+    H = pxj.shape[1]
+    nc, K = tids.shape[1:]
+    chunk = E // nc
+    n_pad = pxj.shape[0]
+    slot = jnp.where(sl2 >= 0, sl2 // 128, 0)
+    local = jnp.where(sl2 >= 0, sl2 % 128, 0)
+    tid_per_edge = jnp.take_along_axis(
+        jnp.repeat(tids, chunk, axis=1).reshape(T, E, K),
+        slot[..., None], axis=2)[..., 0]
+    gidx = jnp.clip(tid_per_edge * 128 + local, 0, n_pad - 1)
+    g0 = jnp.take(pxj, gidx.reshape(-1), axis=0).reshape(T, E, H)
+    g0 = jnp.where((sl2 >= 0)[..., None], g0, 0)
+    gath = jnp.take_along_axis(pr, recv_local[..., None], axis=1)
+    z1 = g0.astype(jnp.float32) + gath.astype(jnp.float32)
+    h1 = _swish(z1)
+    z2 = (jnp.einsum("teh,hk->tek", h1.astype(pxj.dtype), w,
+                     preferred_element_type=jnp.float32)
+          + b.astype(jnp.float32))
+    h2 = _swish(z2)
+    tile_n = pr.shape[1]
+    iota = jnp.arange(tile_n, dtype=recv_local.dtype)
+    onehot = (recv_local[:, None, :] == iota[None, :, None]).astype(h2.dtype)
+    onehot = onehot * mask[:, None, :].astype(h2.dtype)
+    return jnp.einsum("tne,tec->tnc", onehot, h2,
+                      preferred_element_type=jnp.float32)
+
+
+def _mpnn2r_fwd_pallas(pxj, pr, w, b, tids, sl2, recv_local, mask,
+                       ct, cc, flag):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, E = recv_local.shape
+    H = pxj.shape[1]
+    tile_n = pr.shape[1]
+    nc, K = tids.shape[1:]
+    chunk = E // nc
+    ncl = ct.shape[0]
+    sl3 = sl2.reshape(T, 1, E)
+    recv3 = recv_local.reshape(T, 1, E)
+    mask3 = mask.reshape(T, 1, E)
+    b2 = b.reshape(1, H)
+    dt = pxj.dtype
+
+    def kernel(ct_ref, cc_ref, fl_ref, tid_ref, pxj_ref, pr_ref, w_ref,
+               b_ref, sl_ref, recv_ref, mask_ref, out_ref, g0_ref):
+        i = pl.program_id(0)
+        t = ct_ref[i]
+        ec = cc_ref[i]
+        new_tile = jnp.logical_or(i == 0, ct_ref[jnp.maximum(i - 1, 0)] != t)
+
+        @pl.when(new_tile)
+        def _():
+            out_ref[0] = jnp.zeros((tile_n, H), jnp.float32)
+
+        @pl.when(fl_ref[i] == 1)
+        def _():
+            sl = sl_ref[0, 0]
+            g0_ref[...] = jnp.zeros((chunk, H), jnp.float32)
+            cols128 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
+            for k in range(K):
+                tid = tid_ref[t, ec, k]
+
+                @pl.when(tid >= 0)
+                def _(k=k, tid=tid):
+                    base = pl.multiple_of(tid * 128, 128)
+                    win = pxj_ref[pl.ds(base, 128), :]
+                    ohk = (cols128 == (sl - k * 128)[:, None]).astype(dt)
+                    g0_ref[...] += _dot(ohk, win.astype(dt))
+
+            recv = recv_ref[0, 0]
+            m = mask_ref[0, 0]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
+            oh_g = (cols == recv[:, None]).astype(dt)
+            gath = _dot(oh_g, pr_ref[0])
+            h1 = _swish(g0_ref[...] + gath).astype(dt)
+            h2 = _swish(_dot(h1, w_ref[:]) + b_ref[0][None, :])
+            rws = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
+            oh_a = (rws == recv[None, :]).astype(dt) * m[None, :].astype(dt)
+            out_ref[0] = out_ref[0] + _dot(oh_a, h2.astype(dt))
+
+    full = lambda *shape: pl.BlockSpec(
+        shape, lambda i, ct, cc, fl, tid: (0,) * len(shape))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ncl,),
+        in_specs=[
+            full(pxj.shape[0], H),                           # sender table
+            pl.BlockSpec((1, tile_n, H),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
+            full(H, H),
+            full(1, H),
+            pl.BlockSpec((1, 1, chunk),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
+            pl.BlockSpec((1, 1, chunk),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
+            pl.BlockSpec((1, 1, chunk),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, H),
+                               lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
+        scratch_shapes=[pltpu.VMEM((chunk, H), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=bool(os.environ.get("MAGNET_TPU_PALLAS_INTERPRET")),
+        out_shape=jax.ShapeDtypeStruct((T, tile_n, H), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * E * ((K * 128 + 2 * tile_n + H) * H),
+            bytes_accessed=4 * (pxj.shape[0] * H + 2 * T * tile_n * H),
+            transcendentals=2 * T * E * H,
+        ),
+    )(ct, cc, flag, tids, pxj, pr, w, b2, sl3, recv3, mask3)
+
+
+def _mpnn2r_bwd_pallas(pxj, pr, w, b, tids, sl2, recv_local, mask,
+                       ct, cc, flag, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, E = recv_local.shape
+    H = pxj.shape[1]
+    tile_n = pr.shape[1]
+    nc, K = tids.shape[1:]
+    chunk = E // nc
+    n_pad = pxj.shape[0]
+    ncl = ct.shape[0]
+    sl3 = sl2.reshape(T, 1, E)
+    recv3 = recv_local.reshape(T, 1, E)
+    mask3 = mask.reshape(T, 1, E)
+    b2 = b.reshape(1, H)
+    dt = pxj.dtype
+
+    def kernel(ct_ref, cc_ref, fl_ref, tid_ref, pxj_ref, pr_ref, w_ref,
+               b_ref, sl_ref, recv_ref, mask_ref, g_ref,
+               dpxj_ref, dpr_ref, dw_ref, db_ref, g0_ref):
+        i = pl.program_id(0)
+        t = ct_ref[i]
+        ec = cc_ref[i]
+        new_tile = jnp.logical_or(i == 0, ct_ref[jnp.maximum(i - 1, 0)] != t)
+
+        @pl.when(i == 0)
+        def _():
+            dpxj_ref[...] = jnp.zeros_like(dpxj_ref)
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        @pl.when(new_tile)
+        def _():
+            dpr_ref[0] = jnp.zeros((tile_n, H), jnp.float32)
+
+        @pl.when(fl_ref[i] == 1)
+        def _():
+            sl = sl_ref[0, 0]
+            # recompute the sender gather
+            g0_ref[...] = jnp.zeros((chunk, H), jnp.float32)
+            cols128 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
+            for k in range(K):
+                tid = tid_ref[t, ec, k]
+
+                @pl.when(tid >= 0)
+                def _(k=k, tid=tid):
+                    base = pl.multiple_of(tid * 128, 128)
+                    win = pxj_ref[pl.ds(base, 128), :]
+                    ohk = (cols128 == (sl - k * 128)[:, None]).astype(dt)
+                    g0_ref[...] += _dot(ohk, win.astype(dt))
+
+            recv = recv_ref[0, 0]
+            m = mask_ref[0, 0]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
+            oh_g = (cols == recv[:, None]).astype(dt)
+            gath = _dot(oh_g, pr_ref[0])
+            z1 = g0_ref[...] + gath                         # f32
+            h1 = _swish(z1)
+            z2 = _dot(h1.astype(dt), w_ref[:]) + b_ref[0][None, :]
+
+            d_h2 = _dot(oh_g, g_ref[0].astype(dt)) * m[:, None]
+            d_z2 = d_h2 * _dswish(z2)
+            dw_ref[...] = dw_ref[...] + _dot_t(h1.astype(dt),
+                                               d_z2.astype(dt))
+            db_ref[...] = db_ref[...] + jnp.sum(d_z2, axis=0, keepdims=True)
+            d_h1 = jax.lax.dot_general(
+                d_z2.astype(dt), w_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            d_z1 = d_h1 * _dswish(z1)
+            d_z1c = d_z1.astype(dt)
+            rws = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
+            oh_a = (rws == recv[None, :]).astype(dt)
+            dpr_ref[0] = dpr_ref[0] + _dot(oh_a, d_z1c)
+            # d_send: transposed sender one-hots into the resident table
+            for k in range(K):
+                tid = tid_ref[t, ec, k]
+
+                @pl.when(tid >= 0)
+                def _(k=k, tid=tid):
+                    ohk = (cols128 == (sl - k * 128)[:, None]).astype(dt)
+                    sli = pl.ds(tid * 128, 128)
+                    dpxj_ref[sli, :] = (dpxj_ref[sli, :]
+                                        + _dot_t(ohk, d_z1c))
+
+    full = lambda *shape: pl.BlockSpec(
+        shape, lambda i, ct, cc, fl, tid: (0,) * len(shape))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ncl,),
+        in_specs=[
+            full(n_pad, H),
+            pl.BlockSpec((1, tile_n, H),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
+            full(H, H),
+            full(1, H),
+            pl.BlockSpec((1, 1, chunk),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
+            pl.BlockSpec((1, 1, chunk),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
+            pl.BlockSpec((1, 1, chunk),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
+            pl.BlockSpec((1, tile_n, H),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
+        ],
+        out_specs=(
+            full(n_pad, H),
+            pl.BlockSpec((1, tile_n, H),
+                         lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
+            full(H, H),
+            full(1, H),
+        ),
+        scratch_shapes=[pltpu.VMEM((chunk, H), jnp.float32)],
+    )
+    dpxj, dpr, dw, db = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=bool(os.environ.get("MAGNET_TPU_PALLAS_INTERPRET")),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, tile_n, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * E * ((2 * K * 128 + 2 * tile_n + 2 * H) * H),
+            bytes_accessed=4 * (2 * n_pad * H + 3 * T * tile_n * H),
+            transcendentals=4 * T * E * H,
+        ),
+    )(ct, cc, flag, tids, pxj, pr, w, b2, sl3, recv3, mask3, g)
+    return dpxj, dpr, dw, db.reshape(H)
+
+
+def _mpnn2r_impl(pxj, pr, w, b, tids, sl2, recv_local, mask, ct, cc, flag):
+    if _use_pallas():
+        return _mpnn2r_fwd_pallas(pxj, pr, w, b, tids, sl2, recv_local,
+                                  mask, ct, cc, flag)
+    return _mpnn2r_ref_impl(pxj, pr, w, b, tids, sl2, recv_local, mask)
+
+
+@jax.custom_vjp
+def fused_mpnn_edge_agg2r(pxj, pr, w, b, tids, sl2, recv_local, mask,
+                          ct, cc, flag):
+    """Fused MPNN message path with BOTH node gathers in-kernel on the
+    ragged flat live-chunk grid: masked sums by receiver of
+    swish(Linear(swish(send_side[j] + recv_side[i]))).
+
+    Args:
+      pxj: (N_pad, H) sender-side node table (VMEM-resident; caller
+          guards the budget).
+      pr: (T, tile_n, H) receiver-side table per node tile.
+      w/b: (H, H)/(H,) the second message Linear.
+      tids/sl2: sender-tile metadata as fused_edge_tail_agg2.
+      recv_local/mask: (T, E_TILE); ct/cc/flag: flat live-chunk list.
+    Returns: (T, tile_n, H) float32 masked sums.  No (E, H) array exists
+    in HBM in either direction.
+    """
+    return _mpnn2r_impl(pxj, pr, w, b, tids, sl2, recv_local, mask,
+                        ct, cc, flag)
+
+
+def _mpnn2r_fwd(pxj, pr, w, b, tids, sl2, recv_local, mask, ct, cc, flag):
+    out = _mpnn2r_impl(pxj, pr, w, b, tids, sl2, recv_local, mask,
+                       ct, cc, flag)
+    return out, (pxj, pr, w, b, tids, sl2, recv_local, mask, ct, cc, flag)
+
+
+def _mpnn2r_bwd(res, g):
+    pxj, pr, w, b, tids, sl2, recv_local, mask, ct, cc, flag = res
+    if _use_pallas():
+        dpxj, dpr, dw, db = _mpnn2r_bwd_pallas(
+            pxj, pr, w, b, tids, sl2, recv_local, mask, ct, cc, flag, g)
+    else:
+        def f(pxj_, pr_, w_, b_):
+            return _mpnn2r_ref_impl(pxj_, pr_, w_, b_, tids, sl2,
+                                    recv_local, mask)
+
+        _, vjp = jax.vjp(f, pxj, pr, w, b)
+        dpxj, dpr, dw, db = vjp(g)
+    return (dpxj.astype(pxj.dtype), dpr.astype(pr.dtype),
+            dw.astype(w.dtype), db.astype(b.dtype),
+            None, None, None, None, None, None, None)
+
+
+fused_mpnn_edge_agg2r.defvjp(_mpnn2r_fwd, _mpnn2r_bwd)

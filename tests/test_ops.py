@@ -878,3 +878,83 @@ def test_interaction_network_folde_path():
             np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4),
         g_ref, g_fold,
     )
+
+
+def test_mpnn2r_interpret_matches_ref(monkeypatch):
+    """fused_mpnn_edge_agg2r (both gathers in-kernel, ragged grid,
+    interpret mode): fwd matches the jnp oracle; bwd matches autodiff on
+    every differentiable input, incl. the in-kernel d_send table."""
+    from magnet_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(47)
+    H = 64
+    a = _fused2_args(rng, T=2, nc=2, chunk=128, H=H, C=H, L1=1, K=2)
+    w = jnp.asarray(rng.normal(size=(H, H)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.2)
+    ct, cc, fl = _chunk_list_args(a)
+    g = jnp.asarray(rng.normal(size=(2, 128, H)).astype(np.float32))
+    order = ("pxj", "pxi", "w", "b")
+    args = (a["pxj"], a["pxi"], w, b)
+
+    def ref_loss(*p):
+        return jnp.sum(pk._mpnn2r_ref_impl(
+            *p, a["tids"], a["sl"], a["recv"], a["mask"]) * g)
+
+    def pallas_loss(*p):
+        return jnp.sum(pk.fused_mpnn_edge_agg2r(
+            *p, a["tids"], a["sl"], a["recv"], a["mask"], ct, cc, fl) * g)
+
+    want_out = pk._mpnn2r_ref_impl(
+        *args, a["tids"], a["sl"], a["recv"], a["mask"])
+    want = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(*args)
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    got_out = pk.fused_mpnn_edge_agg2r(
+        *args, a["tids"], a["sl"], a["recv"], a["mask"], ct, cc, fl)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
+                               rtol=1e-4, atol=1e-4)
+    got = jax.grad(pallas_loss, argnums=(0, 1, 2, 3))(*args)
+    for name, wnt, h in zip(order, want, got):
+        np.testing.assert_allclose(np.asarray(h), np.asarray(wnt),
+                                   rtol=1e-3, atol=1e-4, err_msg=name)
+
+
+def test_mpnn_layer_v2r_path():
+    """End-to-end: MPNNLayer's v2r kernel path (both gathers in-kernel)
+    matches the v1 fused path on output and grads."""
+    import os
+
+    from magnet_tpu.nn.gnn_layer import MPNNLayer
+    from magnet_tpu.models.common import batch_vmap, build_radius_graph_batch
+
+    rng = np.random.default_rng(48)
+    B, n, hidden = 2, 260, 32
+    coords = np.sort(rng.uniform(-1, 1, (B, n, 1)), axis=1)
+    coords2 = np.concatenate([coords, np.zeros_like(coords)], -1)
+    g = build_radius_graph_batch(coords2.astype(np.float32), 0.05, loop=True)
+    assert g.blk_snd2_tids is not None and g.blk_chunk_ct is not None
+
+    x = jnp.asarray(rng.normal(size=(B, n, hidden)).astype(np.float32))
+    u = jnp.asarray(rng.normal(size=(B, n, 8)).astype(np.float32))
+    pos = jnp.asarray(coords.astype(np.float32))
+    var = jnp.asarray(rng.normal(size=(B, n, 1)).astype(np.float32))
+    layer = batch_vmap(MPNNLayer, in_axes=(0, 0, 0, 0, 0),
+                       hidden_features=hidden, out_features=hidden)
+    params = layer.init(jax.random.PRNGKey(0), x, u, pos, var, g)
+
+    def loss(p, graph):
+        return jnp.mean(layer.apply(p, x, u, pos, var, graph) ** 2)
+
+    os.environ["MAGNET_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        l2, g2 = jax.value_and_grad(loss)(params, g)
+        os.environ["MAGNET_TPU_NO_FUSED2"] = "1"
+        l1_, g1 = jax.value_and_grad(loss)(params, g)
+    finally:
+        os.environ.pop("MAGNET_TPU_PALLAS_INTERPRET", None)
+        os.environ.pop("MAGNET_TPU_NO_FUSED2", None)
+    np.testing.assert_allclose(float(l2), float(l1_), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4),
+        g1, g2,
+    )
