@@ -93,6 +93,16 @@ class _FNOBase:
         self.time_history = int(self.hp.get("time_history", 25))
         self.time_future = int(self.hp.get("time_future", 25))
         self.teacher_forcing = bool(self.hp.get("teacher_forcing", True))
+        # The rollout scan swaps a (B, time_history, ...) carry for a
+        # (B, time_future, ...) prediction each window, so the two must agree
+        # (the reference has the same latent constraint, fno_1d.py:167-173;
+        # here it is explicit instead of an opaque scan shape error).
+        if self.time_history != self.time_future:
+            raise ValueError(
+                "FNO autoregressive rollout requires time_history == "
+                f"time_future (got {self.time_history} != {self.time_future}): "
+                "each window's prediction becomes the next window's input."
+            )
         self.criterion = LOSSES[self.hp.get("loss", "l1")]
 
     def build_graph(self, batch):

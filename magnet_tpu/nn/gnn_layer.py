@@ -71,10 +71,12 @@ class MPNNLayer(fnn.Module):
             # grid — no (E, H) array exists in HBM in either direction.
             # Gated on the sender-table VMEM budget (f32, in-kernel
             # d_send accumulator).
+            from magnet_tpu.ops.pallas_kernels import DPXJ_TABLE_BYTES
+
             use_v2r = (
                 gs.blk_snd2_tids is not None
                 and gs.blk_chunk_ct is not None
-                and n_pad * hdim * 4 <= 6 * 2**20
+                and n_pad * hdim * 4 <= DPXJ_TABLE_BYTES
                 and not os.environ.get("MAGNET_TPU_NO_FUSED2")
             )
             if use_v2r:

@@ -201,15 +201,12 @@ class InteractionNetwork(fnn.Module):
             return "hbm"
         return None
 
-    # in-kernel d_pxj VMEM budget (f32 table; must mirror the in_kernel
-    # gate in ops/pallas_kernels.py:_make_fused2r.bwd — the fold-e
-    # backward has no transpose-blocking fallback)
-    _FOLDE_TABLE_BYTES = 6 * 2**20
 
     def _call_fused(self, x, e, gs, e_scale=None):
         import os as _os
 
         from magnet_tpu.ops.pallas_kernels import (
+            DPXJ_TABLE_BYTES,
             fused_edge_tail_agg,
             fused_edge_tail_agg2,
             fused_edge_tail_agg2h,
@@ -242,7 +239,9 @@ class InteractionNetwork(fnn.Module):
         fold = (
             use_ragged
             and f2mode == "vmem"
-            and n_pad * hdim * 4 <= self._FOLDE_TABLE_BYTES
+            # in-kernel d_pxj VMEM gate — shared with the kernel-side gate in
+            # _make_fused2r.bwd (fold-e has no transpose-blocking fallback)
+            and n_pad * hdim * 4 <= DPXJ_TABLE_BYTES
             and not _os.environ.get("MAGNET_TPU_NO_FOLDE")
         )
         if f2mode:

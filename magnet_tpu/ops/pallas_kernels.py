@@ -22,6 +22,13 @@ import numpy as np
 
 TILE_N = 128  # nodes per tile (MXU-aligned)
 
+# VMEM budget for the in-kernel f32 d_pxj accumulator table in the fused2r
+# backward.  Callers gating the fold-e / v2r paths (nn/graphnet.py,
+# nn/gnn_layer.py) MUST import this constant rather than hardcoding a copy:
+# fold-e has no transpose-blocking fallback, so a caller gate looser than the
+# kernel gate would crash training at runtime.
+DPXJ_TABLE_BYTES = 6 * 2**20
+
 
 def _use_pallas() -> bool:
     if os.environ.get("MAGNET_TPU_NO_PALLAS"):
@@ -1885,7 +1892,7 @@ def _make_fused2r(hbm_table: bool, fold_e: bool = False):
         T, E = pe.shape[:2]
         H = we.shape[1] if fold_e else pe.shape[2]
         in_kernel = (not hbm_table
-                     and pxj.shape[0] * H * 4 <= 6 * 2**20)
+                     and pxj.shape[0] * H * 4 <= DPXJ_TABLE_BYTES)
         (dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb, dpxj, dwe,
          dbe) = _fused2r_bwd_pallas(
             pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,

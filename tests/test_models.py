@@ -102,6 +102,19 @@ def test_fno_1d(f1d):
     _check(m, batch, None)
 
 
+def test_fno_rejects_mismatched_windows():
+    # the rollout scan swaps a (B, th, L) carry for a (B, tf, L) prediction;
+    # th != tf must fail loudly at construction, not as a scan shape error
+    import pytest
+
+    with pytest.raises(ValueError, match="time_history == time_future"):
+        create_model(
+            "fno_1d",
+            dict(modes=6, width=16, num_layers=2, time_history=10,
+                 time_future=5, teacher_forcing=True, loss="l1"),
+        )
+
+
 def test_fno_2d(f2d):
     ds = Dataset2D(f2d, "train", nt=12, res=16)
     batch = next(iter(DataLoader(ds, 2, prefetch=0)))
