@@ -125,6 +125,27 @@ def _interaction_step(sd, prefix, mlp_layers, latent):
     return step
 
 
+def import_edsr(sd: Mapping[str, np.ndarray], prefix: str, res_layers: int) -> dict:
+    """Reference EDSR (backbones/edsr.py:32-59) -> our EDSR param subtree.
+    ``prefix`` is the submodule path ('' for a standalone EDSR state dict)."""
+    p = f"{prefix}." if prefix else ""
+    return {
+        "Conv_0": _conv(sd, f"{p}head_conv"),
+        "Conv_1": _conv(sd, f"{p}tail_conv"),
+        "res_layers": {
+            "ResBlock_0": _stack(
+                [
+                    {
+                        "Conv_0": _conv(sd, f"{p}res_layers.{i}.conv_1"),
+                        "Conv_1": _conv(sd, f"{p}res_layers.{i}.conv_2"),
+                    }
+                    for i in range(res_layers)
+                ]
+            )
+        },
+    }
+
+
 def import_magnet_cnn(sd: Mapping[str, np.ndarray], hp: Mapping[str, Any]) -> dict:
     """Build the flax param tree for MAgNetCNN1D/2D cores from a reference
     MAgNetCNN(_2d) state_dict."""
@@ -134,23 +155,7 @@ def import_magnet_cnn(sd: Mapping[str, np.ndarray], hp: Mapping[str, Any]) -> di
     mp = int(hp.get("num_message_passing_steps", 10))
 
     p: dict = {}
-    # EDSR
-    enc = {
-        "Conv_0": _conv(sd, "encoder.head_conv"),
-        "Conv_1": _conv(sd, "encoder.tail_conv"),
-        "res_layers": {
-            "ResBlock_0": _stack(
-                [
-                    {
-                        "Conv_0": _conv(sd, f"encoder.res_layers.{i}.conv_1"),
-                        "Conv_1": _conv(sd, f"encoder.res_layers.{i}.conv_2"),
-                    }
-                    for i in range(res_layers)
-                ]
-            )
-        },
-    }
-    p["encoder"] = enc
+    p["encoder"] = import_edsr(sd, "encoder", res_layers)
 
     # INR proj_head = Sequential(MLP, LayerNorm)
     mlp_t, ln_t = _seq_mlp_ln(sd, "proj_head", mlp_layers)
@@ -325,21 +330,7 @@ def import_no_interaction(sd: Mapping[str, np.ndarray], hp: Mapping[str, Any]) -
         return out
 
     p: dict = {
-        "encoder": {
-            "Conv_0": _conv(sd, "encoder.head_conv"),
-            "Conv_1": _conv(sd, "encoder.tail_conv"),
-            "res_layers": {
-                "ResBlock_0": _stack(
-                    [
-                        {
-                            "Conv_0": _conv(sd, f"encoder.res_layers.{i}.conv_1"),
-                            "Conv_1": _conv(sd, f"encoder.res_layers.{i}.conv_2"),
-                        }
-                        for i in range(res_layers)
-                    ]
-                )
-            },
-        },
+        "encoder": import_edsr(sd, "encoder", res_layers),
         "recurrent_inr": {
             "rec_step": {"proj_head": {"Dense_0": _lin(sd, "proj_head")}}
         },
