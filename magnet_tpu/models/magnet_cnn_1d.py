@@ -252,6 +252,11 @@ class MAgNetCNN1D(PartitionedGraphMixin):
     def _pp_feedback(self, out_lr):
         return out_lr.transpose(0, 1, 3, 2)
 
+    def _pp_val_feedback(self, batch, out_hr):
+        L = batch["lr_frames"].shape[-1]
+        sig = out_hr[..., 0]                                   # (B, T, N)
+        return interpolate_linear_1d(sig, L)[:, :, None, :]    # (B, T, 1, L)
+
     def _pp_lr_nodes(self, lr_hat):
         return lr_hat
 

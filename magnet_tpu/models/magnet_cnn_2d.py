@@ -194,6 +194,13 @@ class MAgNetCNN2D(PartitionedGraphMixin):
     def _pp_feedback(self, out_lr):
         return out_lr
 
+    def _pp_val_feedback(self, batch, out_hr):
+        B, T, N = out_hr.shape[:3]
+        W = batch["lr_frames"].shape[-1]
+        w_in = int(round(np.sqrt(N)))
+        sig = out_hr[..., 0].reshape(B, T, w_in, w_in)
+        return interpolate_bilinear_2d(sig, (W, W))[:, :, None]
+
     def _pp_lr_nodes(self, lr_hat):
         b, tt, c = lr_hat.shape[:3]
         return lr_hat.reshape(b, tt, c, -1).transpose(0, 1, 3, 2)

@@ -35,6 +35,11 @@ from magnet_tpu.ops.graph import knn_np
 
 
 class MAgNetGNNCore(fnn.Module):
+    """Setup-style core: staged methods (``nf1``/``graph_encode1``/``inr``/
+    ``nf2``/``graph_encode2``/``graph_decode``) are shared between the
+    standard ``__call__`` path and the graph-parallel execution path
+    (``MAgNetGNN.forward_partitioned``)."""
+
     time_slice: int = 25
     latent_dim: int = 128
     num_message_passing_steps: int = 5
@@ -46,7 +51,84 @@ class MAgNetGNNCore(fnn.Module):
     remat: bool = False
     graph_dtype: Any = None  # GraphNet-stage dtype (see magnet_cnn_1d.py)
 
-    @fnn.compact
+    def setup(self):
+        gk = dict(
+            node_out=self.latent_dim, edge_out=self.latent_dim,
+            mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
+            dtype=self.graph_dtype,
+        )
+        pk = dict(
+            latent_dim=self.latent_dim,
+            num_steps=self.num_message_passing_steps, remat=self.remat,
+            mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
+            dtype=self.graph_dtype,
+        )
+        self.encoder = batch_vmap(GraphEncoder, in_axes=(0, 0), **gk)
+        self.processor = batch_vmap(GraphProcessor, in_axes=(0, 0, 0), **pk)
+        self.continuous_decoder = batch_vmap(
+            KNNDecoder, in_axes=(0, 0, 0, 0, 0, 0),
+            n_chan=self.n_chan, codec_neighbors=self.codec_neighbors,
+            interpolation=self.interpolation,
+        )
+        self.projector = MLP([self.mlp_hidden] * self.mlp_layers, 1)
+        self._encoder = batch_vmap(GraphEncoder, in_axes=(0, 0), **gk)
+        self._processor = batch_vmap(GraphProcessor, in_axes=(0, 0, 0), **pk)
+        self._decoder = batch_vmap(
+            GraphDecoder, in_axes=(0,),
+            node_out=self.time_slice, mlp_layers=self.mlp_layers,
+            mlp_hidden=self.mlp_hidden, dtype=self.graph_dtype,
+        )
+
+    # ---- staged pieces (reused by the graph-parallel execution path) -----
+    @staticmethod
+    def node_feats(u, x, t_last):
+        B = u.shape[0]
+        return jnp.concatenate(
+            [u, x, jnp.broadcast_to(t_last[:, None, :], (B, u.shape[1], 1))],
+            axis=-1,
+        )
+
+    @staticmethod
+    def edge_features(u, x, senders, receivers):
+        def ef(u1, x1, s, r):
+            du = jnp.take(u1, s, axis=0) - jnp.take(u1, r, axis=0)
+            dx = jnp.take(x1, s, axis=0) - jnp.take(x1, r, axis=0)
+            return jnp.concatenate([du, dx], axis=-1)
+
+        return jax.vmap(ef)(u, x, senders, receivers)
+
+    def graph_encode1(self, nf, ef):
+        return self.encoder(nf, ef)
+
+    def graph_encode2(self, nf, ef):
+        return self._encoder(nf, ef)
+
+    def inr(self, x_lr, lr_encoded, lr_coords, hr_coords, t, nbr_idx):
+        """k-NN INR decode + projector -> hr_points (B, N, T, 1)."""
+        z = self.continuous_decoder(
+            x_lr, lr_encoded, lr_coords, hr_coords, t, nbr_idx
+        )
+        return self.projector(z)
+
+    def graph_decode(self, nf):
+        return self._decoder(nf)
+
+    @staticmethod
+    def assemble_outputs(ret, x_lr, hr_points, hr_last, t):
+        """Euler updates (reference magnet_gnn.py:359-369)."""
+        B, T, C, L = x_lr.shape
+        last_values = jnp.concatenate(
+            [x_lr[:, -1].transpose(0, 2, 1), hr_last], axis=1
+        )                                                     # (B, L+N, 1)
+        dt = t[:, T:] - t[:, T - 1 : T]                       # (B, T_out)
+        outputs = (
+            last_values[:, None]
+            + dt[:, :, None, None] * ret.transpose(0, 2, 1)[..., None]
+        )                                                     # (B, T_out, L+N, 1)
+        out_lr = outputs[:, :, :L]
+        out_hr = outputs[:, :, L:]
+        return out_hr, out_lr, hr_points.transpose(0, 2, 1, 3)
+
     def __call__(self, x_lr, lr_coords, hr_coords, t, hr_last,
                  graph_lr: Graph, graph_all: Graph, nbr_idx):
         """
@@ -61,91 +143,34 @@ class MAgNetGNNCore(fnn.Module):
         """
         B, T, C, L = x_lr.shape
         N = hr_coords.shape[1]
-        T_out = t.shape[-1] - T
-
-        def node_edge_feats(u, x, tl, g: Graph):
-            nf = jnp.concatenate(
-                [u, x, jnp.broadcast_to(tl[:, None, :], (B, u.shape[1], 1))],
-                axis=-1,
-            )
-
-            def ef(u1, x1, s, r):
-                du = jnp.take(u1, s, axis=0) - jnp.take(u1, r, axis=0)
-                dx = jnp.take(x1, s, axis=0) - jnp.take(x1, r, axis=0)
-                return jnp.concatenate([du, dx], axis=-1)
-
-            return nf, jax.vmap(ef)(u, x, g.senders, g.receivers)
-
         t_last = t[:, T - 1 : T]
 
         # ---- first pass over LR nodes (magnet_gnn.py:330-335)
         u_lr = x_lr.transpose(0, 3, 1, 2).reshape(B, L, T * C)
-        nf, ef = node_edge_feats(u_lr, lr_coords, t_last, graph_lr)
-        enc = batch_vmap(
-            GraphEncoder, in_axes=(0, 0),
-            node_out=self.latent_dim, edge_out=self.latent_dim,
-            mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
-            dtype=self.graph_dtype, name="encoder",
+        nf = self.node_feats(u_lr, lr_coords, t_last)
+        ef = self.edge_features(
+            u_lr, lr_coords, graph_lr.senders, graph_lr.receivers
         )
-        proc = batch_vmap(
-            GraphProcessor, in_axes=(0, 0, 0),
-            latent_dim=self.latent_dim, num_steps=self.num_message_passing_steps, remat=self.remat,
-            mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
-            dtype=self.graph_dtype, name="processor",
-        )
-        nf, ef = enc(nf, ef)
-        lr_encoded, _ = proc(nf, ef, graph_lr)                # (B, L, latent)
+        nf, ef = self.graph_encode1(nf, ef)
+        lr_encoded, _ = self.processor(nf, ef, graph_lr)      # (B, L, latent)
 
         # ---- k-NN INR decode (magnet_gnn.py:224-283)
-        dec = batch_vmap(
-            KNNDecoder, in_axes=(0, 0, 0, 0, 0, 0),
-            n_chan=self.n_chan, codec_neighbors=self.codec_neighbors,
-            interpolation=self.interpolation, name="continuous_decoder",
-        )
-        z = dec(x_lr, lr_encoded, lr_coords, hr_coords, t, nbr_idx)  # (B,N,T,nc)
-        hr_points = MLP(
-            [self.mlp_hidden] * self.mlp_layers, 1, name="projector"
-        )(z)                                                  # (B, N, T, 1)
+        hr_points = self.inr(
+            x_lr, lr_encoded, lr_coords, hr_coords, t, nbr_idx
+        )                                                     # (B, N, T, 1)
 
         # ---- second pass over LR ∪ HR (magnet_gnn.py:341-356)
         hr_flat = hr_points.reshape(B, N, T * C)
         all_coords = jnp.concatenate([lr_coords, hr_coords], axis=1)
         all_feats = jnp.concatenate([u_lr, hr_flat], axis=1)
-        nf, ef = node_edge_feats(all_feats, all_coords, t_last, graph_all)
-        enc2 = batch_vmap(
-            GraphEncoder, in_axes=(0, 0),
-            node_out=self.latent_dim, edge_out=self.latent_dim,
-            mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
-            dtype=self.graph_dtype, name="_encoder",
+        nf = self.node_feats(all_feats, all_coords, t_last)
+        ef = self.edge_features(
+            all_feats, all_coords, graph_all.senders, graph_all.receivers
         )
-        proc2 = batch_vmap(
-            GraphProcessor, in_axes=(0, 0, 0),
-            latent_dim=self.latent_dim, num_steps=self.num_message_passing_steps, remat=self.remat,
-            mlp_layers=self.mlp_layers, mlp_hidden=self.mlp_hidden,
-            dtype=self.graph_dtype, name="_processor",
-        )
-        gdec = batch_vmap(
-            GraphDecoder, in_axes=(0,),
-            node_out=self.time_slice, mlp_layers=self.mlp_layers,
-            mlp_hidden=self.mlp_hidden, dtype=self.graph_dtype,
-            name="_decoder",
-        )
-        nf, ef = enc2(nf, ef)
-        nf, _ = proc2(nf, ef, graph_all)
-        ret = gdec(nf)                                        # (B, L+N, T_out)
-
-        # ---- Euler (magnet_gnn.py:359-369)
-        last_values = jnp.concatenate(
-            [x_lr[:, -1].transpose(0, 2, 1), hr_last], axis=1
-        )                                                     # (B, L+N, 1)
-        dt = t[:, T:] - t[:, T - 1 : T]                       # (B, T_out)
-        outputs = (
-            last_values[:, None] + dt[:, :, None, None] * ret.transpose(0, 2, 1)[..., None]
-        )                                                     # (B, T_out, L+N, 1)
-
-        out_lr = outputs[:, :, :L]
-        out_hr = outputs[:, :, L:]
-        return out_hr, out_lr, hr_points.transpose(0, 2, 1, 3)
+        nf, ef = self.graph_encode2(nf, ef)
+        nf, _ = self._processor(nf, ef, graph_all)
+        ret = self.graph_decode(nf)                           # (B, L+N, T_out)
+        return self.assemble_outputs(ret, x_lr, hr_points, hr_last, t)
 
 
 class MAgNetGNN:

@@ -541,6 +541,111 @@ def make_partitioned_processor_halo_overlap(
     return run
 
 
+def build_partition_buffers(raw, n_node: int, n_shards: int, halo=False):
+    """Batch a list of per-sample raw edge lists into batch-uniform
+    fixed-shape partition buffers (the ``pg`` dict the partitioned
+    processors consume).  ``halo``: False = all-gather variant; True =
+    halo all_to_all; "overlap" = interior/boundary split."""
+    bsz = len(raw)
+    if halo == "overlap":
+        return _build_overlap_buffers(raw, n_node, n_shards, bsz)
+    e_shard = k_max = 1
+    for s, t in raw:
+        sg = partition_graph(s, t, n_node, n_shards)
+        e_shard = max(e_shard, sg.senders.shape[1])
+        k_max = max(k_max, sg.recv_edge_ids.shape[2])
+    e_shard = ((e_shard + 127) // 128) * 128
+    part = partition_graph_halo if halo else partition_graph
+    sgs = [
+        part(s, t, n_node, n_shards, e_shard=e_shard, k_max=k_max)
+        for s, t in raw
+    ]
+    ns = sgs[0].n_node_pad // n_shards
+    shard_off = (np.arange(n_shards, dtype=np.int32) * ns)[None, :, None]
+    senders = np.stack([g.senders for g in sgs])
+    recv_loc = np.stack([g.receivers_loc for g in sgs])
+    out = {
+        "senders": jnp.asarray(senders),
+        "recv_loc": jnp.asarray(recv_loc),
+        "mask": jnp.asarray(np.stack([g.edge_mask for g in sgs])),
+        "table": jnp.asarray(np.stack([g.recv_edge_ids for g in sgs])),
+        "senders_flat": jnp.asarray(senders.reshape(bsz, -1)),
+        "receivers_flat": jnp.asarray(
+            (recv_loc + shard_off).reshape(bsz, -1)
+        ),
+        "n_node": n_node,
+        "n_node_pad": sgs[0].n_node_pad,
+        "n_shards": n_shards,
+    }
+    if halo:
+        h_pad = max(g.halo_idx.shape[2] for g in sgs)
+        halo_idx = np.zeros((bsz, n_shards, n_shards, h_pad), np.int32)
+        for b, g in enumerate(sgs):
+            halo_idx[b, :, :, : g.halo_idx.shape[2]] = g.halo_idx
+        remap = np.stack([g.senders_remap for g in sgs])
+        for b, g in enumerate(sgs):
+            own = g.halo_idx.shape[2]
+            if own != h_pad:
+                halo_slots = remap[b] >= ns
+                src = (remap[b] - ns) // own
+                pos = (remap[b] - ns) % own
+                remap[b] = np.where(
+                    halo_slots, ns + src * h_pad + pos, remap[b]
+                )
+        out["halo_idx"] = jnp.asarray(halo_idx)
+        out["senders_remap"] = jnp.asarray(remap)
+    return out
+
+
+def _build_overlap_buffers(raw, n_node, n_shards, bsz):
+    """Two-pass [interior | boundary] partition: measure per-sample sizes,
+    then rebuild batch-uniform."""
+    part = partition_graph_halo_overlap
+    probe = [part(s, t, n_node, n_shards) for s, t in raw]
+    e_int = max(g.e_int for g in probe)
+    e_bnd = max(g.senders.shape[1] - g.e_int for g in probe)
+    k_int = max(g.t_int.shape[2] for g in probe)
+    k_bnd = max(g.t_bnd.shape[2] for g in probe)
+    h_pad = max(g.halo_idx.shape[2] for g in probe)
+    sgs = [
+        part(s, t, n_node, n_shards, e_int=e_int, e_bnd=e_bnd,
+             k_int=k_int, k_bnd=k_bnd, h_pad=h_pad)
+        for s, t in raw
+    ]
+    ns = sgs[0].n_node_pad // n_shards
+    shard_off = (np.arange(n_shards, dtype=np.int32) * ns)[None, :, None]
+    senders = np.stack([g.senders for g in sgs])      # (B, G, Ei+Eb)
+    recv_loc = np.stack([g.receivers_loc for g in sgs])
+    remap = np.stack([g.senders_remap for g in sgs])
+    mask = np.stack([g.edge_mask for g in sgs])
+    recv_glob = recv_loc + shard_off
+    c = e_int
+    return {
+        "remap_int": jnp.asarray(remap[:, :, :c]),
+        "recv_int": jnp.asarray(recv_loc[:, :, :c]),
+        "mask_int": jnp.asarray(mask[:, :, :c]),
+        "t_int": jnp.asarray(np.stack([g.t_int for g in sgs])),
+        "remap_bnd": jnp.asarray(remap[:, :, c:]),
+        "recv_bnd": jnp.asarray(recv_loc[:, :, c:]),
+        "mask_bnd": jnp.asarray(mask[:, :, c:]),
+        "t_bnd": jnp.asarray(np.stack([g.t_bnd for g in sgs])),
+        "degree": jnp.asarray(np.stack([g.degree for g in sgs])),
+        "halo_idx": jnp.asarray(np.stack([g.halo_idx for g in sgs])),
+        # per-region GLOBAL edge endpoints for edge-feature builds
+        "senders_flat_int": jnp.asarray(
+            senders[:, :, :c].reshape(bsz, -1)),
+        "receivers_flat_int": jnp.asarray(
+            recv_glob[:, :, :c].reshape(bsz, -1)),
+        "senders_flat_bnd": jnp.asarray(
+            senders[:, :, c:].reshape(bsz, -1)),
+        "receivers_flat_bnd": jnp.asarray(
+            recv_glob[:, :, c:].reshape(bsz, -1)),
+        "n_node": n_node,
+        "n_node_pad": sgs[0].n_node_pad,
+        "n_shards": n_shards,
+    }
+
+
 def make_partitioned_processor_halo(interaction_apply, num_steps: int,
                                     mesh: Mesh, batched_halo: bool = False):
     """Like :func:`make_partitioned_processor` but communicates only halo

@@ -169,6 +169,53 @@ def test_flagship_graph_parallel_matches_standard():
     np.testing.assert_allclose(par_n, ref_n, rtol=5e-3)
 
 
+def test_flagship_graph_parallel_val_matches_standard():
+    """loss_partitioned(train=False) must monitor the SAME val_mae_loss as
+    the standard path: no-TF rollout with HR-interpolated feedback
+    (reference magnet_cnn.py:458-459), HR-only criterion, no interp term —
+    otherwise early stopping/checkpoint selection would differ between
+    sharded and unsharded training."""
+    from magnet_tpu.models.factory import create_model
+
+    rng = np.random.default_rng(13)
+    B, nt, L, N = 2, 48, 32, 16
+    batch = {
+        "t": jnp.asarray(np.linspace(0, 1, nt, dtype=np.float32)[None].repeat(B, 0)),
+        "lr_frames": jnp.asarray(rng.normal(size=(B, nt, 1, L)).astype(np.float32)),
+        "hr_points": jnp.asarray(rng.normal(size=(B, nt, N, 1)).astype(np.float32)),
+        "coords": jnp.asarray(
+            np.sort(rng.uniform(-1, 1, (B, N, 1)).astype(np.float32), axis=1)
+        ),
+        "cells": jnp.asarray(np.full((B, N, 1), 2.0 / (2 * L), np.float32)),
+    }
+    m = create_model(
+        "magnet_cnn",
+        dict(time_slice=16, latent_dim=8, num_message_passing_steps=2,
+             mlp_layers=2, mlp_hidden=16, n_chan=16, res_layers=1,
+             radius=0.3, teacher_forcing=True, loss="l1"),
+    )
+    g = m.build_graph(batch)
+    params = m.init(jax.random.PRNGKey(0), batch, g)
+    ref_loss, ref_metrics = m.loss(params, batch, g, train=False)
+
+    mesh = make_mesh(dp=2, graph=4)
+    pg = m.build_graph_partitioned(batch, n_shards=4)
+    bs = NamedSharding(mesh, P("dp"))
+    batch_sh = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    eg = NamedSharding(mesh, P("dp", "graph"))
+    for k in ("senders", "recv_loc", "mask", "table"):
+        pg[k] = jax.device_put(pg[k], eg)
+
+    loss_v, metrics_v = jax.jit(
+        lambda p, b: m.loss_partitioned(p, b, pg, mesh, train=False)
+    )(params, batch_sh)
+    np.testing.assert_allclose(float(loss_v), float(ref_loss), rtol=2e-4)
+    np.testing.assert_allclose(
+        float(metrics_v["mae_loss"]), float(ref_metrics["mae_loss"]), rtol=2e-4
+    )
+    assert "interp_loss" not in metrics_v
+
+
 def test_halo_processor_matches_allgather():
     """Halo-exchange (all_to_all, boundary rows only) == all-gather
     partitioned processor == single device."""
