@@ -309,3 +309,136 @@ class MAgNetGNN:
             params, batch, graph, teacher_forcing=False, rng=None
         )
         return hr_hat, lr_hat
+
+    # ---------- graph-parallel execution path -------------------------
+    def build_graph_partitioned(self, batch, n_shards: int, halo=False):
+        """Partition BOTH radius graphs (LR and LR∪HR) over the 'graph'
+        mesh axis; the k-NN table stays replicated (the INR decode is
+        node-local)."""
+        from magnet_tpu.ops.graph import radius_graph_np
+        from magnet_tpu.parallel.graph_partition import (
+            build_partition_buffers,
+        )
+
+        lr = np.asarray(batch["coords_lr"])                   # (B, L, P)
+        hr = np.asarray(batch["coords_hr"])                   # (B, N, P)
+        bsz, L = lr.shape[:2]
+        allc = np.concatenate([lr, hr], axis=1)
+        raw_lr = [
+            radius_graph_np(lr[b], self.radius, loop=True) for b in range(bsz)
+        ]
+        raw_all = [
+            radius_graph_np(allc[b], self.radius, loop=True)
+            for b in range(bsz)
+        ]
+        nbr = np.stack(
+            [knn_np(lr[b], hr[b], self.codec_neighbors) for b in range(bsz)]
+        )
+        return {
+            "lr": build_partition_buffers(raw_lr, L, n_shards, halo=halo),
+            "all": build_partition_buffers(
+                raw_all, allc.shape[1], n_shards, halo=halo
+            ),
+            "nbr": jnp.asarray(nbr),
+        }
+
+    def forward_partitioned(self, params, x_lr, lr_coords, hr_coords, t,
+                            hr_last, pg, mesh):
+        from magnet_tpu.models.partitioned_mixin import (
+            partitioned_edge_feats,
+            run_partitioned_processor,
+        )
+
+        core = self.core
+        core_cls = type(core)
+        apply = lambda method, *a: core.apply(params, *a, method=method)
+        B, T, C, L = x_lr.shape
+        N = hr_coords.shape[1]
+        t_last = t[:, T - 1 : T]
+        mp = core.num_message_passing_steps
+        ml, mh = core.mlp_layers, core.mlp_hidden
+
+        # first pass over LR nodes, partitioned
+        u_lr = x_lr.transpose(0, 3, 1, 2).reshape(B, L, T * C)
+        nf = core_cls.node_feats(u_lr, lr_coords, t_last)
+        ef = partitioned_edge_feats(core_cls, u_lr, lr_coords, pg["lr"])
+        nf, ef = apply("graph_encode1", nf, ef)
+        lr_encoded = run_partitioned_processor(
+            nf, ef, pg["lr"], mesh,
+            params["params"]["processor"]["steps"]["step"], mp, ml, mh,
+        )
+
+        # node-local INR decode + projector
+        hr_points = apply(
+            "inr", x_lr, lr_encoded, lr_coords, hr_coords, t, pg["nbr"]
+        )
+
+        # second pass over LR ∪ HR, partitioned
+        hr_flat = hr_points.reshape(B, N, T * C)
+        all_coords = jnp.concatenate([lr_coords, hr_coords], axis=1)
+        all_feats = jnp.concatenate([u_lr, hr_flat], axis=1)
+        nf = core_cls.node_feats(all_feats, all_coords, t_last)
+        ef = partitioned_edge_feats(core_cls, all_feats, all_coords, pg["all"])
+        nf, ef = apply("graph_encode2", nf, ef)
+        nf_out = run_partitioned_processor(
+            nf, ef, pg["all"], mesh,
+            params["params"]["_processor"]["steps"]["step"], mp, ml, mh,
+        )
+        ret = apply("graph_decode", nf_out)
+        return core_cls.assemble_outputs(ret, x_lr, hr_points, hr_last, t)
+
+    def loss_partitioned(self, params, batch, pg, mesh, rng=None,
+                         train: bool = True):
+        """Same semantics as ``loss``: train = optional TF + noise + interp
+        term; val = no TF, plain LR feedback, hr+lr criterion (matching the
+        standard MAgNetGNN path, which has no val-feedback branch)."""
+        ts = self.time_slice
+        u, uv = batch["lr_frames"], batch["hr_points"]
+        t = batch["t"]
+        nt = u.shape[1]
+        n_win = (nt - ts) // ts
+        used = (n_win + 1) * ts
+        tf_flag = self.teacher_forcing and train
+        use_noise = train and self.noise > 0 and rng is not None
+        key = rng if rng is not None else jax.random.PRNGKey(0)
+
+        inp = u[:, :ts]
+        hr_last = uv[:, ts - 1]
+        hr_hat, lr_hat, pts = [], [], []
+        for i in range(n_win):
+            tw = t[:, i * ts : (i + 2) * ts]
+            if use_noise:
+                key, k1, k2 = jax.random.split(key, 3)
+                inp = inp + self.noise * jax.random.normal(k1, inp.shape)
+                hr_last = hr_last + self.noise * jax.random.normal(
+                    k2, hr_last.shape
+                )
+            out_hr, out_lr, hr_pts = self.forward_partitioned(
+                params, inp, batch["coords_lr"], batch["coords_hr"], tw,
+                hr_last, pg, mesh,
+            )
+            hr_hat.append(out_hr)
+            lr_hat.append(out_lr)
+            pts.append(hr_pts)
+            if tf_flag:
+                inp = u[:, (i + 1) * ts : (i + 2) * ts]
+                hr_last = uv[:, (i + 2) * ts - 1]
+            else:
+                inp = out_lr.transpose(0, 1, 3, 2)
+                hr_last = out_hr[:, -1]
+        hr_hat = jnp.concatenate(hr_hat, axis=1)
+        lr_hat = jnp.concatenate(lr_hat, axis=1)
+        pts = jnp.concatenate(pts, axis=1)
+
+        y_hat = jnp.concatenate([hr_hat, lr_hat], axis=2)
+        target = jnp.concatenate(
+            [uv[:, ts:used], u[:, ts:used].transpose(0, 1, 3, 2)], axis=2
+        )
+        loss = self.criterion(y_hat, target)
+        metrics = {"loss": loss, "mae_loss": l1_loss(y_hat, target)}
+        if train:
+            interp_target = uv[:, : used - ts]
+            loss = loss + self.criterion(pts, interp_target)
+            metrics["loss"] = loss
+            metrics["interp_loss"] = l1_loss(pts, interp_target)
+        return loss, metrics

@@ -41,6 +41,7 @@ class _MPNNStep(fnn.Module):
 
     hidden_features: int
     pos_dim: int
+    time_window: int
 
     @fnn.compact
     def __call__(self, carry, _):
@@ -51,6 +52,7 @@ class _MPNNStep(fnn.Module):
             hidden_features=self.hidden_features,
             out_features=self.hidden_features,
             pos_dim=self.pos_dim,
+            time_window=self.time_window,
             name="layer",
         )
         h = layer(h, u, pos, variables, gs)
@@ -58,7 +60,10 @@ class _MPNNStep(fnn.Module):
 
 
 class MPNNCore(fnn.Module):
-    """Per-window forward over a batch of same-mesh graphs."""
+    """Per-window forward over a batch of same-mesh graphs.
+
+    Setup-style: ``embed`` and ``decode`` are node-local stages reused by
+    the edge-partitioned execution path (MPNN.loss_partitioned)."""
 
     hidden_features: int = 128
     hidden_layer: int = 5
@@ -66,7 +71,35 @@ class MPNNCore(fnn.Module):
     pos_dim: int = 1
     with_mid_swish: bool = True
 
-    @fnn.compact
+    def setup(self):
+        self.embed_0 = Linear(self.hidden_features)
+        self.embed_1 = Linear(self.hidden_features)
+        self.gnn_layers = fnn.scan(
+            _MPNNStep,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.hidden_layer,
+        )(self.hidden_features, self.pos_dim, self.time_window)
+        self.output_mlp = TemporalBundlingDecoder(
+            time_window=self.time_window,
+            with_mid_swish=self.with_mid_swish,
+        )
+
+    # ---- staged pieces (reused by the partitioned execution path) -------
+    def embed(self, u, pos_x, variables):
+        node_in = jnp.concatenate([u, pos_x, variables], axis=-1)
+        h = swish(self.embed_0(node_in))
+        return swish(self.embed_1(h))
+
+    def decode(self, h, u, dt):
+        """Temporal-bundling decode + Euler: h (B, N, H), u (B, N, tw)."""
+        B, N, H = h.shape
+        diff = self.output_mlp(h.reshape(B * N, H)).reshape(
+            B, N, self.time_window
+        )
+        dt_row = jnp.cumsum(jnp.full((self.time_window,), dt), axis=0)  # (tw,)
+        return u[..., -1:] + dt_row[None, None, :] * diff
+
     def __call__(self, u, pos_x, variables, dt, graph: Graph):
         """
         Args:
@@ -76,28 +109,9 @@ class MPNNCore(fnn.Module):
           dt: scalar timestep.
         Returns (B, N, tw) bundled predictions.
         """
-        node_in = jnp.concatenate([u, pos_x, variables], axis=-1)
-        h = swish(Linear(self.hidden_features, name="embed_0")(node_in))
-        h = swish(Linear(self.hidden_features, name="embed_1")(h))
-
-        scan = fnn.scan(
-            _MPNNStep,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            length=self.hidden_layer,
-        )(self.hidden_features, self.pos_dim, name="gnn_layers")
-        (h, *_), _ = scan((h, u, pos_x, variables, graph), None)
-
-        dec = TemporalBundlingDecoder(
-            time_window=self.time_window,
-            with_mid_swish=self.with_mid_swish,
-            name="output_mlp",
-        )
-        B, N, H = h.shape
-        diff = dec(h.reshape(B * N, H)).reshape(B, N, self.time_window)
-        dt_row = jnp.cumsum(jnp.full((self.time_window,), dt), axis=0)  # (tw,)
-        out = u[..., -1:] + dt_row[None, None, :] * diff
-        return out
+        h = self.embed(u, pos_x, variables)
+        (h, *_), _ = self.gnn_layers((h, u, pos_x, variables, graph), None)
+        return self.decode(h, u, dt)
 
 
 class MPNN:
@@ -191,6 +205,94 @@ class MPNN:
         u_hat, _ = self._rollout(params, batch, graph, teacher_forcing=False)
         return u_hat
 
+    # ---------- graph-parallel execution path -------------------------
+    def build_graph_partitioned(self, batch, n_shards: int, halo=False):
+        """Edge-partition the (time-invariant) radius graph; the MPNN step
+        needs only the all-gather layout (sender-side projections are
+        exchanged, not raw node features), so halo variants are not used."""
+        from magnet_tpu.ops.graph import radius_graph_np
+        from magnet_tpu.parallel.graph_partition import (
+            build_partition_buffers,
+        )
+
+        x = np.asarray(batch["x"])                        # (B, N, P)
+        bsz, n_node = x.shape[:2]
+        r = self._radius(x)
+        raw = [
+            radius_graph_np(x[b], r, loop=False) for b in range(bsz)
+        ]
+        return build_partition_buffers(raw, n_node, n_shards, halo=False)
+
+    def _forward_partitioned(self, params, inp, pos, variables, dt, pg, mesh):
+        from magnet_tpu.nn.gnn_layer import MPNNLayer
+        from magnet_tpu.parallel.graph_partition import (
+            make_partitioned_mpnn_processor,
+        )
+
+        core = self.core
+        apply = lambda method, *a: core.apply(params, *a, method=method)
+        h = apply("embed", inp, pos, variables)           # (B, N, H)
+        B, N, H = h.shape
+        g_shards, ns = pg["table"].shape[1], pg["table"].shape[2]
+        n_pad = g_shards * ns
+
+        def padn(a):
+            return jnp.pad(a, ((0, 0), (0, n_pad - N), (0, 0)))
+
+        layer = MPNNLayer(
+            hidden_features=core.hidden_features,
+            out_features=core.hidden_features,
+            pos_dim=core.pos_dim,
+            time_window=core.time_window,
+        )
+        stacked = params["params"]["gnn_layers"]["layer"]
+        step_params = [
+            {"params": jax.tree.map(lambda a: a[i], stacked)}
+            for i in range(core.hidden_layer)
+        ]
+        runner = make_partitioned_mpnn_processor(
+            layer, core.hidden_layer, mesh, n_node=N
+        )
+        h_out = runner(
+            step_params, padn(h), padn(inp), padn(pos), padn(variables),
+            pg["senders"], pg["recv_loc"], pg["mask"], pg["table"],
+        )[:, :N]
+        return apply("decode", h_out, inp, dt)
+
+    def loss_partitioned(self, params, batch, pg, mesh, rng=None,
+                         train: bool = True):
+        """Same semantics as ``loss`` (train and val are both plain
+        rollouts; MPNN has no interp/val-feedback branches)."""
+        u, x, t, L, tmax, dt = self._prep(batch)
+        B, nt, N = u.shape
+        tw = self.time_window
+        n_win = (nt - tw) // tw
+        pos = x / L
+        tf_flag = self.teacher_forcing if train else False
+
+        inp = u[:, :tw].transpose(0, 2, 1)
+        outs = []
+        for i in range(n_win):
+            variables = self._pp_variables(t, i, nt, N)
+            y = self._forward_partitioned(
+                params, inp, pos, variables, dt, pg, mesh
+            )
+            outs.append(y)
+            inp = (
+                u[:, (i + 1) * tw : (i + 2) * tw].transpose(0, 2, 1)
+                if tf_flag else y
+            )
+        u_hat = jnp.stack(outs, axis=1).transpose(0, 1, 3, 2).reshape(
+            B, n_win * tw, N
+        )
+        target = u[:, tw : tw + n_win * tw]
+        loss = self.criterion(u_hat, target)
+        return loss, {"loss": loss, "mae_loss": l1_loss(u_hat, target)}
+
+    def _pp_variables(self, t, win_idx, nt, n_nodes):
+        """Per-window time variable; 1D always uses step 0 (mpnn.py:265)."""
+        return self._variables(t, 0, n_nodes)
+
 
 class MPNN2D(MPNN):
     """2D task wrapper.  Batch: u (B, N, nt), x (B, N, 2), t (B, nt).
@@ -214,6 +316,11 @@ class MPNN2D(MPNN):
             pos_dim=2,
             with_mid_swish=True,
         )
+
+    def _pp_variables(self, t, win_idx, nt, n_nodes):
+        """2D advances the time variable per window (mpnn_2d.py:265,281)."""
+        step = min((win_idx + 1) * self.time_window - 1, nt - 1)
+        return self._variables_step(t, step, n_nodes)
 
     def _radius(self, x: np.ndarray) -> float:
         n = x.shape[1]

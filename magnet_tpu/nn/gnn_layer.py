@@ -20,44 +20,79 @@ from magnet_tpu.ops.segment import aggregate_mean_graph, gather_nodes, segment_i
 class MPNNLayer(fnn.Module):
     """One GNN_Layer: message MLP on (x_i, x_j, u_i-u_j, pos_i-pos_j, vars),
     update MLP on (x, mean_msg, vars), residual when in==out, then
-    InstanceNorm over the graph's nodes."""
+    InstanceNorm over the graph's nodes.
+
+    Setup-style: the staged methods (``project_recv``/``project_send``/
+    ``message_tail``/``update_nodes``) are reused by the edge-partitioned
+    execution path (parallel.graph_partition.mpnn_step_local)."""
 
     hidden_features: int
     out_features: int
     pos_dim: int = 1  # 1 for 1D, 2 for 2D
+    time_window: int = 16  # u feature dim (needed for the torch init fan)
 
-    @fnn.compact
-    def __call__(self, x, u, pos, variables, gs):
+    def setup(self):
         from magnet_tpu.nn.core import torch_bias_init, torch_kernel_init_fan
 
-        senders, receivers = gs.senders, gs.receivers
         # message_net_1 over concat(x_i, x_j, u_i-u_j, pos_i-pos_j, v_i),
         # split into per-input chunks and pre-projected on the N-sized
         # arrays (same math as the reference's per-edge concat+Linear,
         # mpnn.py:51,77; init bound matches the unsplit torch Linear).
-        fan = 2 * x.shape[-1] + u.shape[-1] + pos.shape[-1] + variables.shape[-1]
+        fan = (2 * self.hidden_features + self.time_window + self.pos_dim + 1)
         kinit = torch_kernel_init_fan(fan)
 
-        def dense(name, use_bias=False):
+        def dense(use_bias=False):
             return fnn.Dense(
                 self.hidden_features, use_bias=use_bias, kernel_init=kinit,
-                bias_init=torch_bias_init(fan), name=name,
+                bias_init=torch_bias_init(fan),
             )
 
-        p_xi = dense("msg1_xi")(x)
-        p_xj = dense("msg1_xj")(x)
-        p_u = dense("msg1_u")(u)
-        p_p = dense("msg1_pos")(pos)
-        p_v = dense("msg1_var", use_bias=True)(variables)
-        recv_side = p_xi + p_u + p_p + p_v                   # gathered at i
-        send_side = p_xj - p_u - p_p                         # gathered at j
+        self.msg1_xi = dense()
+        self.msg1_xj = dense()
+        self.msg1_u = dense()
+        self.msg1_pos = dense()
+        self.msg1_var = dense(use_bias=True)
 
         # message_net_2 as raw params (torch nn.Linear default init) so the
         # fused Pallas edge kernel can consume them directly
         hdim = self.hidden_features
         w2init = torch_kernel_init_fan(hdim)
-        msg2_w = self.param("msg2_w", w2init, (hdim, hdim))
-        msg2_b = self.param("msg2_b", w2init, (hdim,))
+        self.msg2_w = self.param("msg2_w", w2init, (hdim, hdim))
+        self.msg2_b = self.param("msg2_b", w2init, (hdim,))
+        self.upd1 = Linear(self.hidden_features)
+        self.upd2 = Linear(self.out_features)
+
+    # ---- staged pieces (reused by the partitioned execution path) -------
+    def project_recv(self, x, u, pos, variables):
+        """Per-node receiver-side projection (gathered at i)."""
+        return (self.msg1_xi(x) + self.msg1_u(u) + self.msg1_pos(pos)
+                + self.msg1_var(variables))
+
+    def project_send(self, x, u, pos, variables):
+        """Per-node sender-side projection (gathered at j)."""
+        return self.msg1_xj(x) - self.msg1_u(u) - self.msg1_pos(pos)
+
+    def message_tail(self, pre):
+        """swish(pre) -> message_net_2 -> swish (reference mpnn.py:77-79)."""
+        return swish(swish(pre) @ self.msg2_w + self.msg2_b)
+
+    def update_nodes(self, x, agg, variables):
+        """Update MLP + residual (when in == out)."""
+        upd = jnp.concatenate([x, agg, variables], axis=-1)
+        upd = swish(self.upd1(upd))
+        upd = swish(self.upd2(upd))
+        return x + upd if x.shape[-1] == self.out_features else upd
+
+    def __call__(self, x, u, pos, variables, gs):
+        p_xi = self.msg1_xi(x)
+        p_xj = self.msg1_xj(x)
+        p_u = self.msg1_u(u)
+        p_p = self.msg1_pos(pos)
+        p_v = self.msg1_var(variables)
+        recv_side = p_xi + p_u + p_p + p_v                   # gathered at i
+        send_side = p_xj - p_u - p_p                         # gathered at j
+        hdim = self.hidden_features
+        msg2_w, msg2_b = self.msg2_w, self.msg2_b
 
         import os
 
@@ -108,11 +143,7 @@ class MPNNLayer(fnn.Module):
             msg = swish(msg @ msg2_w + msg2_b)
             agg = aggregate_mean_graph(msg, gs)
 
-        upd = jnp.concatenate([x, agg, variables], axis=-1)
-        upd = swish(Linear(self.hidden_features, name="upd1")(upd))
-        upd = swish(Linear(self.out_features, name="upd2")(upd))
-
-        out = x + upd if x.shape[-1] == self.out_features else upd
+        out = self.update_nodes(x, agg, variables)
         return segment_instance_norm(out)
 
 

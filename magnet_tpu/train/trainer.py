@@ -199,30 +199,39 @@ class Trainer:
             jb = _to_device(jb, self._data_sharding)
             if graph is not None:
                 if self.graph_shards > 1:
-                    from jax.sharding import NamedSharding, PartitionSpec as P
-
-                    eg = NamedSharding(self.mesh, P("dp", "graph"))
-                    g = dict(graph)
-                    for k in ("senders", "recv_loc", "mask", "table",
-                              "senders_remap", "halo_idx",
-                              "remap_int", "recv_int", "mask_int", "t_int",
-                              "remap_bnd", "recv_bnd", "mask_bnd", "t_bnd",
-                              "degree"):
-                        if k in g:
-                            g[k] = jax.device_put(jnp.asarray(g[k]), eg)
-                    for k in ("senders_flat", "receivers_flat",
-                              "senders_flat_int", "receivers_flat_int",
-                              "senders_flat_bnd", "receivers_flat_bnd"):
-                        if k in g:
-                            g[k] = jax.device_put(
-                                jnp.asarray(g[k]), self._data_sharding
-                            )
-                    graph = g
+                    graph = self._place_pg(graph)
                 else:
                     graph = _to_device(graph, self._data_sharding)
         else:
             jb = _to_device(jb)
         return jb, graph
+
+    def _place_pg(self, g):
+        """Shard partition buffers: per-shard arrays over (dp, graph), flat
+        edge lists over dp; recurses into nested dicts (models with several
+        partitioned graphs, e.g. MAgNetGNN's lr/all pair)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        eg = NamedSharding(self.mesh, P("dp", "graph"))
+        g = dict(g)
+        for k, v in g.items():
+            if isinstance(v, dict):
+                g[k] = self._place_pg(v)
+        for k in ("senders", "recv_loc", "mask", "table",
+                  "senders_remap", "halo_idx",
+                  "remap_int", "recv_int", "mask_int", "t_int",
+                  "remap_bnd", "recv_bnd", "mask_bnd", "t_bnd",
+                  "degree"):
+            if k in g:
+                g[k] = jax.device_put(jnp.asarray(g[k]), eg)
+        for k in ("senders_flat", "receivers_flat",
+                  "senders_flat_int", "receivers_flat_int",
+                  "senders_flat_bnd", "receivers_flat_bnd", "nbr"):
+            if k in g:
+                g[k] = jax.device_put(
+                    jnp.asarray(g[k]), self._data_sharding
+                )
+        return g
 
     @staticmethod
     def _sig(pair):

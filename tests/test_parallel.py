@@ -216,6 +216,129 @@ def test_flagship_graph_parallel_val_matches_standard():
     assert "interp_loss" not in metrics_v
 
 
+def _place_gnn_pg(pg, mesh):
+    bs = NamedSharding(mesh, P("dp"))
+    eg = NamedSharding(mesh, P("dp", "graph"))
+    out = {}
+    for gk in ("lr", "all"):
+        g = dict(pg[gk])
+        for k in ("senders", "recv_loc", "mask", "table"):
+            g[k] = jax.device_put(g[k], eg)
+        for k in ("senders_flat", "receivers_flat"):
+            g[k] = jax.device_put(g[k], bs)
+        out[gk] = g
+    out["nbr"] = jax.device_put(pg["nbr"], bs)
+    return out
+
+
+def test_magnet_gnn_graph_parallel_matches_standard():
+    """MAgNetGNN partitioned path (both graphs sharded over graph=4) ==
+    standard path, train AND val losses + grads."""
+    from magnet_tpu.models.factory import create_model
+
+    rng = np.random.default_rng(17)
+    B, nt, L, N, ts = 2, 12, 24, 10, 4
+    batch = {
+        "t": jnp.asarray(np.linspace(0, 1, nt, dtype=np.float32)[None].repeat(B, 0)),
+        "lr_frames": jnp.asarray(rng.normal(size=(B, nt, 1, L)).astype(np.float32)),
+        "hr_points": jnp.asarray(rng.normal(size=(B, nt, N, 1)).astype(np.float32)),
+        "coords_lr": jnp.asarray(rng.uniform(-1, 1, (B, L, 2)).astype(np.float32)),
+        "coords_hr": jnp.asarray(rng.uniform(-1, 1, (B, N, 2)).astype(np.float32)),
+    }
+    m = create_model(
+        "magnet_gnn",
+        dict(time_slice=ts, latent_dim=8, num_message_passing_steps=2,
+             mlp_layers=2, mlp_hidden=16, n_chan=8, radius=0.7,
+             codec_neighbors=2, noise=0.0, interpolation="area",
+             teacher_forcing=True, loss="l1"),
+    )
+    g = m.build_graph(batch)
+    params = m.init(jax.random.PRNGKey(0), batch, g)
+
+    mesh = make_mesh(dp=2, graph=4)
+    pg = _place_gnn_pg(m.build_graph_partitioned(batch, n_shards=4), mesh)
+    bs = NamedSharding(mesh, P("dp"))
+    batch_sh = {k: jax.device_put(v, bs) for k, v in batch.items()}
+
+    for train in (True, False):
+        ref_loss, ref_metrics = m.loss(params, batch, g, train=train)
+        loss_p, metrics_p = jax.jit(
+            lambda p, b, tr=train: m.loss_partitioned(p, b, pg, mesh, train=tr)
+        )(params, batch_sh)
+        np.testing.assert_allclose(float(loss_p), float(ref_loss), rtol=2e-4)
+        np.testing.assert_allclose(
+            float(metrics_p["mae_loss"]), float(ref_metrics["mae_loss"]),
+            rtol=2e-4,
+        )
+
+    gref = jax.grad(lambda p: m.loss(p, batch, g, train=True)[0])(params)
+    gpar = jax.jit(
+        jax.grad(lambda p: m.loss_partitioned(p, batch_sh, pg, mesh,
+                                              train=True)[0])
+    )(params)
+    ref_n = float(sum(jnp.sum(x**2) for x in jax.tree.leaves(gref)) ** 0.5)
+    par_n = float(sum(jnp.sum(x**2) for x in jax.tree.leaves(gpar)) ** 0.5)
+    np.testing.assert_allclose(par_n, ref_n, rtol=5e-3)
+
+
+@pytest.mark.parametrize("name", ["mpnn", "mpnn_2d"])
+def test_mpnn_graph_parallel_matches_standard(name):
+    """MPNN partitioned path (incl. the GLOBAL psum'd InstanceNorm) ==
+    standard path, train AND val losses + grads."""
+    from magnet_tpu.models.factory import create_model
+
+    rng = np.random.default_rng(19)
+    tw = 10
+    if name == "mpnn":
+        B, N, nt = 2, 30, 2 * tw
+        x = np.linspace(0, 16, N, dtype=np.float32)[None, :, None].repeat(B, 0)
+        hp = dict(hidden_features=128, hidden_layer=2, time_window=tw,
+                  neighbors=2, teacher_forcing=False, loss="l1")
+    else:
+        W = 6
+        B, N, nt = 2, W * W, 2 * tw
+        gx, gy = np.meshgrid(np.linspace(0, 2, W), np.linspace(0, 2, W),
+                             indexing="ij")
+        x = np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)[
+            None].repeat(B, 0)
+        hp = dict(hidden_features=128, hidden_layer=2, time_window=tw,
+                  neighbors=1, teacher_forcing=False, loss="l1")
+    batch = {
+        "u": jnp.asarray(rng.normal(size=(B, N, nt)).astype(np.float32)),
+        "x": jnp.asarray(x),
+        "t": jnp.asarray(
+            np.linspace(0, 2, nt, dtype=np.float32)[None].repeat(B, 0)
+        ),
+    }
+    m = create_model(name, hp)
+    g = m.build_graph(batch)
+    params = m.init(jax.random.PRNGKey(0), batch, g)
+
+    mesh = make_mesh(dp=2, graph=4)
+    pg = m.build_graph_partitioned(batch, n_shards=4)
+    bs = NamedSharding(mesh, P("dp"))
+    batch_sh = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    eg = NamedSharding(mesh, P("dp", "graph"))
+    for k in ("senders", "recv_loc", "mask", "table"):
+        pg[k] = jax.device_put(pg[k], eg)
+
+    for train in (True, False):
+        ref_loss, _ = m.loss(params, batch, g, train=train)
+        loss_p, _ = jax.jit(
+            lambda p, b, tr=train: m.loss_partitioned(p, b, pg, mesh, train=tr)
+        )(params, batch_sh)
+        np.testing.assert_allclose(float(loss_p), float(ref_loss), rtol=2e-4)
+
+    gref = jax.grad(lambda p: m.loss(p, batch, g, train=True)[0])(params)
+    gpar = jax.jit(
+        jax.grad(lambda p: m.loss_partitioned(p, batch_sh, pg, mesh,
+                                              train=True)[0])
+    )(params)
+    ref_n = float(sum(jnp.sum(v**2) for v in jax.tree.leaves(gref)) ** 0.5)
+    par_n = float(sum(jnp.sum(v**2) for v in jax.tree.leaves(gpar)) ** 0.5)
+    np.testing.assert_allclose(par_n, ref_n, rtol=5e-3)
+
+
 def test_halo_processor_matches_allgather():
     """Halo-exchange (all_to_all, boundary rows only) == all-gather
     partitioned processor == single device."""
