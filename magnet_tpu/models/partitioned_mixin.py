@@ -33,11 +33,37 @@ def run_partitioned_processor(nf, ef, pg, mesh, stacked_params, num_steps,
         interaction_step_local,
         make_partitioned_processor,
         make_partitioned_processor_halo,
+        make_partitioned_processor_halo_fused,
         make_partitioned_processor_halo_overlap,
     )
 
     B = nf.shape[0]
     latent = nf.shape[-1]
+
+    if "blk_rl" in pg:
+        # FUSED variant: per-shard blocked layout, real InteractionNetwork
+        # step (Pallas kernels on TPU) inside shard_map
+        inet = InteractionNetwork(
+            node_out=latent, edge_out=latent,
+            mlp_layers=mlp_layers, mlp_hidden=mlp_hidden,
+        )
+        step_params = [
+            {"params": jax.tree.map(lambda a: a[i], stacked_params)}
+            for i in range(num_steps)
+        ]
+        g_shards = pg["blk_rl"].shape[1]
+        # pad nodes to G * ns where ns = ceil(n_nodes / G) — matches the
+        # builder's round_up(n_node, n_shards) // n_shards
+        ns = -(-nf.shape[1] // g_shards)
+        n_pad = g_shards * ns
+        nf_pad = jnp.pad(nf, ((0, 0), (0, n_pad - nf.shape[1]), (0, 0)))
+        ef_sh = ef.reshape(B, g_shards, -1, latent)
+        runner = make_partitioned_processor_halo_fused(
+            inet, num_steps, mesh, set(pg.keys())
+        )
+        nf_out, _ = runner(step_params, nf_pad, ef_sh, pg)
+        return nf_out[:, : nf.shape[1]]
+
     overlap = "t_int" in pg
     tbl = pg["t_int"] if overlap else pg["table"]
     g_shards, ns = tbl.shape[1], tbl.shape[2]

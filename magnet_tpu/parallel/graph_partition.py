@@ -794,64 +794,62 @@ FUSED_PG_KEYS = ("blk_s", "blk_rl", "blk_mask", "blk_rg", "degree",
                  "blk_ccc", "blk_cfl", "halo_idx")
 
 
-def make_partitioned_processor_halo_fused(inet, num_steps: int, mesh: Mesh):
+def make_partitioned_processor_halo_fused(inet, num_steps: int, mesh: Mesh,
+                                          pg_keys):
     """Halo-exchange processor whose per-shard step is the REAL
     ``InteractionNetwork.__call__`` on the blocked layout — i.e. the fused
     Pallas edge kernels (or their jnp fallbacks off-TPU) run per shard
     inside shard_map, with the e-scale (PyG e+e doubling) carried as a
     scalar exactly like the single-chip GraphProcessor.
 
+    ``pg_keys``: iterable of the blk keys PRESENT in the pg dict (the
+    sender-transpose / snd2 layouts are optional, e.g. on skewed graphs).
+
     Returned fn: (params_list, x (B, N_pad, C), e (B, G, T*E_TILE, C),
-    pg_fused_arrays...) -> x sharded P('dp','graph')."""
+    pg) -> x sharded P('dp','graph')."""
     from magnet_tpu.models.common import Graph as GraphNT
 
-    def run(params_list, x, e, blk_s, blk_rl, blk_mask, blk_rg, degree,
-            blk_sid, blk_sl, blk_t2, blk_l2, blk_cct, blk_ccc, blk_cfl,
-            halo_idx):
+    opt_keys = ("blk_sid", "blk_sl", "blk_t2", "blk_l2", "blk_cct",
+                "blk_ccc", "blk_cfl")
+    present = [k for k in opt_keys if k in pg_keys]
+
+    def run(params_list, x, e, pg):
+        opt = [pg[k] for k in present]
+
         def body(params_list, x, e, blk_s, blk_rl, blk_mask, blk_rg,
-                 degree, blk_sid, blk_sl, blk_t2, blk_l2, blk_cct,
-                 blk_ccc, blk_cfl, halo_idx):
+                 degree, halo_idx, *opt_arrs):
             e = e[:, 0]
-            strip = lambda a: None if a is None else a[:, 0]
+            strip = lambda a: a[:, 0]
             blk_s, blk_rl, blk_mask, blk_rg, degree = (
                 strip(blk_s), strip(blk_rl), strip(blk_mask), strip(blk_rg),
                 strip(degree),
             )
-            blk_sid, blk_sl = strip(blk_sid), strip(blk_sl)
-            blk_t2, blk_l2 = strip(blk_t2), strip(blk_l2)
-            blk_cct, blk_ccc, blk_cfl = (
-                strip(blk_cct), strip(blk_ccc), strip(blk_cfl),
-            )
+            od = {k: strip(a) for k, a in zip(present, opt_arrs)}
             b, ns, cdim = x.shape
             my_halo = halo_idx[:, 0]                       # (b, G, h_pad)
             g, h_pad = my_halo.shape[1:]
             scale = jnp.ones((), x.dtype)
 
-            def one(params_i, sc, xe, ee, s_, rl_, m_, rg_, dg_, sid_, sl_,
-                    t2_, l2_, ct_, cc_, fl_):
+            def one(params_i, sc, xe, ee, s_, rl_, m_, rg_, dg_, *oa):
+                kw = dict(zip(present, oa))
                 gs = GraphNT(
                     senders=s_.reshape(-1),
                     receivers=rg_,
                     edge_mask=m_.reshape(-1),
                     blk_recv_local=rl_,
                     degree=dg_,
-                    blk_snd_edge_ids=sid_,
-                    blk_snd_local=sl_,
-                    blk_snd2_tids=t2_,
-                    blk_snd2_local=l2_,
-                    blk_chunk_ct=ct_,
-                    blk_chunk_cc=cc_,
-                    blk_chunk_flag=fl_,
+                    blk_snd_edge_ids=kw.get("blk_sid"),
+                    blk_snd_local=kw.get("blk_sl"),
+                    blk_snd2_tids=kw.get("blk_t2"),
+                    blk_snd2_local=kw.get("blk_l2"),
+                    blk_chunk_ct=kw.get("blk_cct"),
+                    blk_chunk_cc=kw.get("blk_ccc"),
+                    blk_chunk_flag=kw.get("blk_cfl"),
                 )
                 xn, en = inet.apply(params_i, xe, ee, gs, e_scale=sc)
                 return xn, en
 
-            opt_axes = lambda a: None if a is None else 0
-            in_axes = (None, None, 0, 0, 0, 0, 0, 0, 0,
-                       opt_axes(blk_sid), opt_axes(blk_sl),
-                       opt_axes(blk_t2), opt_axes(blk_l2),
-                       opt_axes(blk_cct), opt_axes(blk_ccc),
-                       opt_axes(blk_cfl))
+            in_axes = (None, None) + (0,) * (7 + len(present))
             for step in range(num_steps):
                 send = jax.vmap(
                     lambda xx, hh: jnp.take(xx, hh.reshape(-1), axis=0)
@@ -865,22 +863,22 @@ def make_partitioned_processor_halo_fused(inet, num_steps: int, mesh: Mesh):
                 x_new, e = jax.vmap(
                     one, in_axes=in_axes,
                 )(params_list[step], scale, x_ext, e, blk_s, blk_rl,
-                  blk_mask, blk_rg, degree, blk_sid, blk_sl, blk_t2,
-                  blk_l2, blk_cct, blk_ccc, blk_cfl)
+                  blk_mask, blk_rg, degree, *[od[k] for k in present])
                 x = x_new[:, :ns]
                 scale = scale * 2
             return x, e[:, None]
 
         sharded = P("dp", "graph")
-        n_arr = 15
         return shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(),) + (sharded,) * n_arr,
+            in_specs=(P(),) + (sharded,) * (8 + len(present)),
             out_specs=(sharded, sharded),
-        )(params_list, x, e, blk_s, blk_rl, blk_mask, blk_rg, degree,
-          blk_sid, blk_sl, blk_t2, blk_l2, blk_cct, blk_ccc, blk_cfl,
-          halo_idx)
+            # pallas_call in interpret mode can't annotate vma yet; the
+            # body's collectives are explicit, so the check adds nothing
+            check_vma=False,
+        )(params_list, x, e, pg["blk_s"], pg["blk_rl"], pg["blk_mask"],
+          pg["blk_rg"], pg["degree"], pg["halo_idx"], *opt)
 
     return run
 
@@ -891,6 +889,8 @@ def build_partition_buffers(raw, n_node: int, n_shards: int, halo=False):
     processors consume).  ``halo``: False = all-gather variant; True =
     halo all_to_all; "overlap" = interior/boundary split."""
     bsz = len(raw)
+    if halo == "fused":
+        return build_partition_buffers_fused(raw, n_node, n_shards)
     if halo == "overlap":
         return _build_overlap_buffers(raw, n_node, n_shards, bsz)
     e_shard = k_max = 1

@@ -4,12 +4,15 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 python - <<'PY'
-from magnet_tpu.data.synthetic import generate_1d_file, generate_2d_file
+from magnet_tpu.data.synthetic import (
+    generate_1d_file, generate_2d_file, generate_ce_suite,
+)
 import os
 os.makedirs('data/B1/uniform', exist_ok=True)
 os.makedirs('data/B1/concentrated', exist_ok=True)
 os.makedirs('data/B2', exist_ok=True)
-generate_1d_file('data/CE_train_E3.h5', n_train=64, n_valid=16, n_test=16, nt=250, nx=50, seed=0)
+# E3 headline file (combined-equation solver, reference's actual family)
+generate_1d_file('data/CE_train_E3.h5', n_train=64, n_valid=16, n_test=16, nt=250, nx=50, seed=0, eq='E3')
 generate_1d_file('data/KS_train.h5', n_train=64, n_valid=16, n_test=16, nt=128, nx=256, seed=1)
 generate_2d_file('data/B1/burgers_train_B1_64.h5', n_train=32, n_valid=8, n_test=8, nt=50, res=64, seed=2)
 generate_2d_file('data/B1/burgers_test_B1_32.h5', n_train=8, n_valid=8, n_test=8, nt=50, res=32, seed=3)
@@ -26,6 +29,15 @@ for i, n_nodes in enumerate([64, 128, 256, 512]):
                      n_train=32, n_valid=8, n_test=8, nt=50, res=64,
                      seed=5 + 10 * i, irregular=True, n_nodes=n_nodes,
                      concentrated=True)
+# the reference's full 1D dataset tree (README.md:34-60), regenerated with
+# the actual Brandstetter combined-equation solver: E1 regular+irregular
+# (train 30/50/70 nodes, zero-shot test at 40/50/100/200), E2/E3 regular
+if os.environ.get('GEN_CE_SUITE', '1') != '0':
+    generate_ce_suite('data/1d/E1', eq='E1', seed=10,
+                      irregular_nodes=(30, 50, 70))
+    generate_ce_suite('data/1d/E2', eq='E2', seed=11)
+    generate_ce_suite('data/1d/E3', eq='E3', seed=12)
+
 # each generated file holds train/valid/test groups; mirror the
 # reference's separate-file layout by copying
 import shutil

@@ -339,6 +339,74 @@ def test_mpnn_graph_parallel_matches_standard(name):
     np.testing.assert_allclose(par_n, ref_n, rtol=5e-3)
 
 
+@pytest.mark.parametrize("interpret", [False, True])
+def test_flagship_fused_partitioned_matches_standard(interpret, monkeypatch):
+    """The FUSED partitioned variant (per-shard blocked layout, real
+    InteractionNetwork fused step under shard_map) == standard path.
+    interpret=True runs the actual Pallas kernel bodies (interpret mode)
+    inside shard_map on the CPU mesh."""
+    import os
+
+    from magnet_tpu.models.factory import create_model
+
+    if interpret:
+        monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+
+    rng = np.random.default_rng(23)
+    B, nt, L, N = 2, 48, 32, 16
+    batch = {
+        "t": jnp.asarray(np.linspace(0, 1, nt, dtype=np.float32)[None].repeat(B, 0)),
+        "lr_frames": jnp.asarray(rng.normal(size=(B, nt, 1, L)).astype(np.float32)),
+        "hr_points": jnp.asarray(rng.normal(size=(B, nt, N, 1)).astype(np.float32)),
+        "coords": jnp.asarray(
+            np.sort(rng.uniform(-1, 1, (B, N, 1)).astype(np.float32), axis=1)
+        ),
+        "cells": jnp.asarray(np.full((B, N, 1), 2.0 / (2 * L), np.float32)),
+    }
+    m = create_model(
+        "magnet_cnn",
+        dict(time_slice=16, latent_dim=8, num_message_passing_steps=2,
+             mlp_layers=2, mlp_hidden=16, n_chan=16, res_layers=1,
+             radius=0.3, teacher_forcing=True, loss="l1"),
+    )
+    g = m.build_graph(batch)
+    params = m.init(jax.random.PRNGKey(0), batch, g)
+
+    mesh = make_mesh(dp=2, graph=4)
+    pg = m.build_graph_partitioned(batch, n_shards=4, halo="fused")
+    assert "blk_rl" in pg
+    bs = NamedSharding(mesh, P("dp"))
+    batch_sh = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    eg = NamedSharding(mesh, P("dp", "graph"))
+    from magnet_tpu.parallel.graph_partition import FUSED_PG_KEYS
+
+    for k in FUSED_PG_KEYS:
+        if k in pg:
+            pg[k] = jax.device_put(pg[k], eg)
+    for k in ("senders_flat", "receivers_flat"):
+        pg[k] = jax.device_put(pg[k], bs)
+
+    for train in (True, False):
+        ref_loss, ref_metrics = m.loss(params, batch, g, train=train)
+        loss_f, metrics_f = jax.jit(
+            lambda p, b, tr=train: m.loss_partitioned(p, b, pg, mesh, train=tr)
+        )(params, batch_sh)
+        np.testing.assert_allclose(float(loss_f), float(ref_loss), rtol=2e-4)
+        np.testing.assert_allclose(
+            float(metrics_f["mae_loss"]), float(ref_metrics["mae_loss"]),
+            rtol=2e-4,
+        )
+
+    gref = jax.grad(lambda p: m.loss(p, batch, g, train=True)[0])(params)
+    gpar = jax.jit(
+        jax.grad(lambda p: m.loss_partitioned(p, batch_sh, pg, mesh,
+                                              train=True)[0])
+    )(params)
+    ref_n = float(sum(jnp.sum(v**2) for v in jax.tree.leaves(gref)) ** 0.5)
+    par_n = float(sum(jnp.sum(v**2) for v in jax.tree.leaves(gpar)) ** 0.5)
+    np.testing.assert_allclose(par_n, ref_n, rtol=5e-3)
+
+
 def test_halo_processor_matches_allgather():
     """Halo-exchange (all_to_all, boundary rows only) == all-gather
     partitioned processor == single device."""
