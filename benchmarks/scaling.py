@@ -145,6 +145,11 @@ def run_config(dp, g_shards, variant, n=N_NODES, latent=LATENT, steps=STEPS,
                   gs1)
         for i in range(steps)
     ]
+    # EVERY jit input must be explicitly placed on the mesh: mixing
+    # committed (sharded) and uncommitted inputs makes the axon relay
+    # reshard per call (~100x slowdown measured; see CLAUDE.md)
+    rep = NamedSharding(mesh, P())
+    step_params = jax.tree.map(lambda a: jax.device_put(a, rep), step_params)
 
     if variant == "fused":
         pg = build_partition_buffers_fused(raw, n, g_shards)

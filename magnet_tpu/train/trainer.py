@@ -339,6 +339,17 @@ class Trainer:
             params, opt_state = state["params"], state["opt_state"]
             start_epoch = int(meta.get("epoch", -1)) + 1
             log.info(f"resumed from {resume} at epoch {start_epoch}")
+        if self._data_sharding is not None:
+            # EVERY input of a sharded jit must be explicitly placed:
+            # mixing committed (sharded batch) and uncommitted (params)
+            # inputs forces a per-call reshard (~100x on the axon relay,
+            # CLAUDE.md) — replicate params/opt_state across the mesh
+            params = jax.tree.map(
+                lambda a: jax.device_put(a, self._rep_sharding), params
+            )
+            opt_state = jax.tree.map(
+                lambda a: jax.device_put(a, self._rep_sharding), opt_state
+            )
         n_params = sum(x.size for x in jax.tree.leaves(params))
         log.info(f"model {self.model.name}: {n_params:,} params; "
                  f"{steps_per_epoch} steps/epoch")
