@@ -49,8 +49,13 @@ def _build_pl(torch):
         def save_hyperparameters(self, *a, **k):
             pass
 
-        def log(self, *a, **k):
-            pass
+        def log(self, name, value, **k):
+            # record logged scalars so tests can read e.g. val_mae_loss
+            if not hasattr(self, "_logged"):
+                self._logged = {}
+            self._logged[name] = (
+                float(value.detach()) if hasattr(value, "detach") else value
+            )
 
         @property
         def device(self):

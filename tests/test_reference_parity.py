@@ -339,6 +339,75 @@ def test_mpnn_2d_full_forward():
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("tf", [True, False])
+def test_mpnn_training_and_val_loss_parity(tf):
+    """MPNN training_step / validation_step multi-window rollout losses
+    (reference mpnn.py:252-333) == our loss(train=True/False)."""
+    m = ref_stubs.load("models.mpnn")
+    tw = 10
+    hp = NS(**{**MPNN_HP, "teacher_forcing": tf}, time_window=tw, neighbors=2)
+    ref = m.MPNN(hp)
+    rng = np.random.default_rng(41)
+    B, N, nt = 2, 24, 3 * tw                         # 2 rollout windows
+    batch_np = {
+        "u": rng.normal(size=(B, N, nt)).astype(np.float32),
+        "x": np.linspace(0, 16, N, dtype=np.float32)[None, :, None].repeat(B, 0),
+        "t": np.linspace(0, 2, nt, dtype=np.float32)[None].repeat(B, 0),
+    }
+    tb = {k: _t(v) for k, v in batch_np.items()}
+    with torch.no_grad():
+        ref_train = float(ref.training_step(tb, 0))
+        ref.validation_step(tb, 0)
+
+    from magnet_tpu.models.factory import create_model
+
+    hpd = dict(hidden_features=128, hidden_layer=2, time_window=tw,
+               neighbors=2, teacher_forcing=tf, loss="l1")
+    ours = create_model("mpnn", hpd)
+    params = _j(imp.import_state_dict("mpnn", _sd(ref), hpd))
+    jb = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    g = ours.build_graph(jb)
+    loss, _ = ours.loss(params, jb, g, train=True)
+    np.testing.assert_allclose(float(loss), ref_train, rtol=1e-5, atol=1e-6)
+    vloss, _ = ours.loss(params, jb, g, train=False)
+    np.testing.assert_allclose(
+        float(vloss), ref._logged["val_loss"], rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("tf", [True, False])
+def test_fno_training_and_val_loss_parity(tf):
+    """FNO1d training_step / validation_step rollout losses (reference
+    fno_1d.py:154-210) == our loss(train=True/False)."""
+    m = ref_stubs.load("models.fno_1d")
+    hp = NS(**{**FNO_HP, "teacher_forcing": tf}, modes=4, width=8,
+            num_layers=2, time_history=6, time_future=6)
+    ref = m.FNO1d(hp)
+    rng = np.random.default_rng(43)
+    B, L, nt = 2, 16, 18                             # th=6 + 2 windows
+    u = rng.normal(size=(B, nt, L)).astype(np.float32)
+    dx = np.asarray([0.1, 0.2], np.float32)
+    dt = np.asarray([0.01, 0.02], np.float32)
+    tb = (_t(u), _t(dx), _t(dt))
+    with torch.no_grad():
+        ref_train = float(ref.training_step(tb, 0))
+        ref.validation_step(tb, 0)
+
+    from magnet_tpu.models.factory import create_model
+
+    ours = create_model("fno_1d", dict(modes=4, width=8, num_layers=2,
+                                       time_history=6, time_future=6,
+                                       teacher_forcing=tf, loss="l1"))
+    params = _j(imp.import_state_dict("fno_1d", _sd(ref), vars(hp)))
+    jb = {"u": jnp.asarray(u), "dx": jnp.asarray(dx), "dt": jnp.asarray(dt)}
+    loss, _ = ours.loss(params, jb, None, train=True)
+    np.testing.assert_allclose(float(loss), ref_train, rtol=1e-5, atol=1e-6)
+    vloss, _ = ours.loss(params, jb, None, train=False)
+    np.testing.assert_allclose(
+        float(vloss), ref._logged["val_loss"], rtol=1e-5, atol=1e-6
+    )
+
+
 # --------------------------------------------------------------------------
 # MAgNet[GNN] — full forward incl. kNN INR decoder and both GraphNet passes
 # (reference models/magnet_gnn.py:312-376)
@@ -386,6 +455,50 @@ def test_magnet_gnn_full_forward():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(o_hr), _n(out_hr), rtol=1e-4,
                                atol=2e-5)
+
+
+@pytest.mark.parametrize("tf", [True, False])
+def test_magnet_gnn_training_and_val_loss_parity(tf):
+    """MAgNetGNN training_step (noise=0 -> deterministic) and
+    validation_step losses (reference magnet_gnn.py:388-475) == ours."""
+    m = ref_stubs.load("models.magnet_gnn")
+    hp = dict(lr=1e-3, weight_decay=0.0, factor=0.3, step_size=50, loss="l1",
+              time_slice=4, num_message_passing_steps=2, latent_dim=8,
+              mlp_layers=2, mlp_hidden=16, n_chan=8, radius=0.7,
+              codec_neighbors=2, noise=0.0, interpolation="area",
+              teacher_forcing=tf)
+    ref = m.MAgNetGNN(NS(**hp))
+    rng = np.random.default_rng(47)
+    B, ts, L, N = 2, 4, 12, 6
+    nt = 3 * ts
+    batch_np = {
+        "t": np.linspace(0, 1, nt, dtype=np.float32)[None].repeat(B, 0),
+        "lr_frames": rng.normal(size=(B, nt, 1, L)).astype(np.float32),
+        "hr_points": rng.normal(size=(B, nt, N, 1)).astype(np.float32),
+        "coords_hr": rng.uniform(-1, 1, (B, N, 2)).astype(np.float32),
+        "coords_lr": rng.uniform(-1, 1, (B, L, 2)).astype(np.float32),
+    }
+    tb = {k: _t(v) for k, v in batch_np.items()}
+    with torch.no_grad():
+        ref_train = float(ref.training_step(tb, 0))
+        ref.validation_step(tb, 0)
+
+    from magnet_tpu.models.factory import create_model
+
+    ours = create_model("magnet_gnn", hp)
+    params = _j(imp.import_state_dict("magnet_gnn", _sd(ref), hp))
+    jb = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    g = ours.build_graph(jb)
+    loss, _ = ours.loss(params, jb, g, train=True)
+    np.testing.assert_allclose(float(loss), ref_train, rtol=1e-5, atol=1e-6)
+    vloss, vmetrics = ours.loss(params, jb, g, train=False)
+    np.testing.assert_allclose(
+        float(vloss), ref._logged["val_loss"], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(vmetrics["mae_loss"]), ref._logged["val_mae_loss"],
+        rtol=1e-5, atol=1e-6,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -470,6 +583,84 @@ def test_magnet_cnn_2d_full_window_forward():
                                atol=2e-5)  # both (B, T_out, C, W, W)
     np.testing.assert_allclose(np.asarray(o_hr), _n(out_hr), rtol=1e-4,
                                atol=2e-5)
+
+
+@pytest.mark.parametrize("tf", [True, False])
+def test_magnet_cnn_training_step_loss_parity(tf):
+    """Full training_step loss (multi-window rollout + interp term,
+    reference magnet_cnn.py:393-436) == our loss(train=True)."""
+    m = ref_stubs.load("models.magnet_cnn")
+    hp = dict(CNN_HP, teacher_forcing=tf)
+    ref = m.MAgNetCNN(NS(**hp))
+    rng = np.random.default_rng(31)
+    B, ts, L, N = 2, 4, 16, 6
+    nt = 3 * ts                                       # 2 rollout windows
+    batch_np = {
+        "t": np.linspace(0, 1, nt, dtype=np.float32)[None].repeat(B, 0),
+        "lr_frames": rng.normal(size=(B, nt, 1, L)).astype(np.float32),
+        "hr_points": rng.normal(size=(B, nt, N, 1)).astype(np.float32),
+        "coords": np.sort(rng.uniform(-1, 1, (B, N, 1)).astype(np.float32), 1),
+        "cells": np.full((B, N, 1), 2.0 / (2 * L), np.float32),
+        "sample_idx": np.stack(
+            [np.sort(rng.choice(L, N, replace=False)) for _ in range(B)]
+        ),
+    }
+    with torch.no_grad():
+        ref_loss = float(ref.training_step(
+            {k: _t(v) for k, v in batch_np.items()}, 0
+        ))
+
+    from magnet_tpu.models.factory import create_model
+
+    ours = create_model("magnet_cnn", hp)
+    params = _j(imp.import_state_dict("magnet_cnn", _sd(ref), hp))
+    jb = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    g = ours.build_graph(jb)
+    loss, metrics = ours.loss(params, jb, g, train=True)
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        float(metrics["mae_loss"]), ref._logged["train_mae_loss"],
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(metrics["interp_loss"]), ref._logged["train_interp_loss"],
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_magnet_cnn_validation_step_loss_parity():
+    """validation_step (no TF, HR-interpolated feedback, HR-only loss,
+    reference magnet_cnn.py:439-467) == our loss(train=False) — the metric
+    early stopping and checkpoint selection monitor."""
+    m = ref_stubs.load("models.magnet_cnn")
+    ref = m.MAgNetCNN(NS(**CNN_HP))
+    rng = np.random.default_rng(37)
+    B, ts, L, N = 2, 4, 16, 6
+    nt = 3 * ts
+    batch_np = {
+        "t": np.linspace(0, 1, nt, dtype=np.float32)[None].repeat(B, 0),
+        "lr_frames": rng.normal(size=(B, nt, 1, L)).astype(np.float32),
+        "hr_points": rng.normal(size=(B, nt, N, 1)).astype(np.float32),
+        "coords": np.sort(rng.uniform(-1, 1, (B, N, 1)).astype(np.float32), 1),
+        "cells": np.full((B, N, 1), 2.0 / (2 * L), np.float32),
+    }
+    with torch.no_grad():
+        ref.validation_step({k: _t(v) for k, v in batch_np.items()}, 0)
+
+    from magnet_tpu.models.factory import create_model
+
+    ours = create_model("magnet_cnn", CNN_HP)
+    params = _j(imp.import_state_dict("magnet_cnn", _sd(ref), CNN_HP))
+    jb = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    g = ours.build_graph(jb)
+    loss, metrics = ours.loss(params, jb, g, train=False)
+    np.testing.assert_allclose(
+        float(loss), ref._logged["val_loss"], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(metrics["mae_loss"]), ref._logged["val_mae_loss"],
+        rtol=1e-5, atol=1e-6,
+    )
 
 
 def test_magnet_cnn_full_window_forward(ref_magnet_cnn):
