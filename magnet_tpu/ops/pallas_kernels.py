@@ -1517,6 +1517,13 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         w_rest = jnp.zeros((1, H, H), jnp.float32)
         b_rest = jnp.zeros((1, H), jnp.float32)
     dt = pe.dtype
+    # d_z emission dtype: the compute dtype halves its HBM write+read
+    # traffic when d_pxj is accumulated in-kernel (d_z is then only read
+    # back as d_pe), but on the transpose-blocking FALLBACK path d_z
+    # addends are segment-summed into d_pxj — emit f32 there so the
+    # gradient isn't bf16-quantized exactly where per-node edge counts
+    # are highest (ADVICE round 1).
+    dz_dt = dt if dpxj_in_kernel else jnp.float32
 
     def _dot_rt(a, b):
         if a.dtype != b.dtype:
@@ -1567,7 +1574,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
 
         @pl.when(fl_ref[i] == 0)
         def _():
-            dz_ref[0] = jnp.zeros((chunk, Ce), dt)
+            dz_ref[0] = jnp.zeros((chunk, Ce), dz_dt)
 
         @pl.when(fl_ref[i] == 1)
         def _():
@@ -1652,12 +1659,12 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             # traffic; callers cast to the primal dtype anyway
             if fold:
                 d_h16 = d_h.astype(dt)
-                dz_ref[0] = _dot_rt(d_h16, we_ref[:]).astype(dt)  # d_e0
+                dz_ref[0] = _dot_rt(d_h16, we_ref[:]).astype(dz_dt)  # d_e0
                 dwe_ref[...] = dwe_ref[...] + _dot_t(pe_ref[0], d_h16)
                 dbe_ref[...] = dbe_ref[...] + jnp.sum(
                     d_h, axis=0, keepdims=True)
             else:
-                dz_ref[0] = d_h.astype(dt)
+                dz_ref[0] = d_h.astype(dz_dt)
             rws = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
             oh_a = (rws == recv[None, :]).astype(dt)
             dpxi_ref[0] = dpxi_ref[0] + _dot(oh_a, d_h.astype(dt))
@@ -1694,7 +1701,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
     full = lambda *shape: pl.BlockSpec(
         shape, lambda i, ct, cc, fl, tid: (0,) * len(shape))
     outs = (
-        jax.ShapeDtypeStruct((T, E, Ce), dt),                # d_z / d_e0
+        jax.ShapeDtypeStruct((T, E, Ce), dz_dt),             # d_z / d_e0
         jax.ShapeDtypeStruct((T, tile_n, H), jnp.float32),   # d_pxi
         jax.ShapeDtypeStruct((max(L1, 1), H, H), jnp.float32),
         jax.ShapeDtypeStruct((max(L1, 1), H), jnp.float32),

@@ -720,6 +720,48 @@ def test_fused2r_grads_interpret(monkeypatch):
     np.testing.assert_array_equal(np.asarray(got[0][0, chunk:]), 0.0)
 
 
+def test_fused2r_bwd_fallback_emits_f32_dz(monkeypatch):
+    """With d_pxj NOT accumulated in-kernel (transpose-blocking fallback),
+    bf16 inputs must still emit d_z in f32 — the fallback segment-sums
+    d_z addends into d_pxj, so bf16 quantization there would degrade
+    gradients exactly where per-node edge counts are highest (ADVICE
+    round 1).  The in-kernel path keeps the bf16 emission (traffic win)."""
+    from magnet_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(44)
+    a = _fused2_args(rng, T=2, nc=2, chunk=128, H=64, C=64, L1=1, K=2)
+    ct, cc, fl = _chunk_list_args(a)
+    order = ("pe", "pxj", "pxi", "wr", "br", "wo", "bo", "ls", "lb")
+    bf = {k: (a[k].astype(jnp.bfloat16)
+              if k in ("pe", "pxj", "pxi", "wr", "br", "wo", "bo") else a[k])
+          for k in order}
+    g = jnp.asarray(rng.normal(size=(2, 128, 64)).astype(np.float32))
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    got_fb = pk._fused2r_bwd_pallas(
+        *[bf[k] for k in order], a["tids"], a["sl"], a["recv"], a["mask"],
+        ct, cc, fl, g, dpxj_in_kernel=False)
+    assert got_fb[0].dtype == jnp.float32, "fallback d_z must be f32"
+    assert got_fb[8] is None
+    got_ik = pk._fused2r_bwd_pallas(
+        *[bf[k] for k in order], a["tids"], a["sl"], a["recv"], a["mask"],
+        ct, cc, fl, g, dpxj_in_kernel=True)
+    assert got_ik[0].dtype == jnp.bfloat16, "in-kernel path keeps bf16 d_z"
+    # both paths' d_z agree within bf16 tolerance of each other
+    np.testing.assert_allclose(
+        np.asarray(got_fb[0], np.float32), np.asarray(got_ik[0], np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    # f32 fallback d_z matches f32 autodiff within bf16-compute tolerance
+    def ref_loss(*p):
+        return jnp.sum(pk._fused2_ref_impl(
+            *p, a["tids"], a["sl"], a["recv"], a["mask"]) * g)
+
+    want = jax.grad(ref_loss, argnums=(0,))(*[a[k] for k in order])[0]
+    rel = (np.linalg.norm(np.asarray(got_fb[0]) - np.asarray(want))
+           / np.linalg.norm(np.asarray(want)))
+    assert rel < 0.08, rel  # bf16 compute vs f32 autodiff
+
+
 def test_fused2h_hbm_table_interpret(monkeypatch):
     """HBM-table variant (per-chunk sender-window DMAs, interpret mode):
     fwd matches the reference; bwd matches autodiff."""
