@@ -33,6 +33,13 @@ def run_and_trace(prof_dir):
 
     rng = np.random.default_rng(0)
     coords = rng.uniform(-1, 1, (B, N, 2)).astype(np.float32)
+    # Morton-order like bench.py — without it the sender locality is too
+    # poor for the in-kernel sender gather and this profiles the v1
+    # kernel path instead of the headline fused2r/fold-e configuration
+    if not os.environ.get("BENCH_NO_MORTON"):
+        from magnet_tpu.ops.graph import morton_order
+
+        coords = np.stack([c[morton_order(c)] for c in coords])
     r = float(np.sqrt(20 * 4 / (np.pi * N)))
     graph = build_radius_graph_batch(coords, r, loop=True)
 
