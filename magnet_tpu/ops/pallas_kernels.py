@@ -1325,7 +1325,8 @@ fused_edge_tail_agg2.defvjp(_fused2_fwd, _fused2_bwd)
 
 def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                         ln_s, ln_b, tids, sl2, recv_local, mask,
-                        ct, cc, flag, hbm_table=False, we=None, be=None):
+                        ct, cc, flag, hbm_table=False, we=None, be=None,
+                        emit_h0=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1363,7 +1364,10 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             rest = rest[2:]
         (pxj_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref,
          ls_ref, lb_ref, sl_ref, recv_ref, mask_ref,
-         out_ref, g0_ref, *win) = rest
+         out_ref, *rest) = rest
+        if emit_h0:
+            h0_ref, *rest = rest
+        g0_ref, *win = rest
         i = pl.program_id(0)
         t = ct_ref[i]
         ec = cc_ref[i]
@@ -1419,6 +1423,12 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             else:
                 pe_c = pe_ref[0]
             h = jax.nn.relu(pe_c + g0_ref[...] + gath).astype(dt)
+            if emit_h0:
+                # cache the post-relu first activation for the backward:
+                # the bwd kernel then skips the K sender one-hot gathers,
+                # the receiver gather, and the fold-e projection recompute
+                # (bit-identical — this IS the dt value the bwd rebuilds)
+                h0_ref[0] = h
             for k in range(L1):
                 h = jax.nn.relu(_dot(h, wr_ref[k])
                                 + br_ref[k][None, :]).astype(dt)
@@ -1445,6 +1455,15 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         lambda i, ct, cc, fl, tid: (ct[i], cc[i], 0))
     fold_specs = [full(Ce, H), full(1, H)] if fold else []
     fold_args = [we, be2] if fold else []
+    out_shape = jax.ShapeDtypeStruct((T, tile_n, C), jnp.float32)
+    out_specs = pl.BlockSpec((1, tile_n, C),
+                             lambda i, ct, cc, fl, tid: (ct[i], 0, 0))
+    if emit_h0:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((T, E, H), dt))
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, chunk, H),
+                                  lambda i, ct, cc, fl, tid:
+                                  (ct[i], cc[i], 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(ncl,),
@@ -1465,15 +1484,14 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             pl.BlockSpec((1, 1, chunk),
                          lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
         ],
-        out_specs=pl.BlockSpec((1, tile_n, C),
-                               lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         interpret=bool(os.environ.get("MAGNET_TPU_PALLAS_INTERPRET")),
-        out_shape=jax.ShapeDtypeStruct((T, tile_n, C), jnp.float32),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * T * E * (K * 128 + tile_n * 2 + L1 * H + C
                                + (Ce if fold else 0)) * H // 2,
@@ -1487,11 +1505,15 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
 def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                         ln_s, ln_b, tids, sl2, recv_local, mask,
                         ct, cc, flag, g, hbm_table=False,
-                        dpxj_in_kernel=False, we=None, be=None):
+                        dpxj_in_kernel=False, we=None, be=None, h0=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     fold = we is not None
+    # h0: the forward's cached post-relu first activation (T, E, H) —
+    # skips the K sender one-hot gathers, the receiver gather, and the
+    # fold-e projection recompute (bit-identical to the recompute)
+    use_h0 = h0 is not None
     if fold:
         # pe is e0 (T, E, Ce); recompute the in-kernel projection and emit
         # d_e0 (= d_h @ we^T) instead of d_z, plus dwe/dbe accumulators
@@ -1539,14 +1561,18 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             we_ref, be_ref = rest[:2]
             rest = rest[2:]
         (pxj_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref,
-         ls_ref, sl_ref, recv_ref, mask_ref, g_ref,
-         dz_ref, dpxi_ref, dwr_ref, dbr_ref, dwo_ref, dbo_ref,
+         ls_ref, sl_ref, recv_ref, mask_ref, g_ref, *rest) = rest
+        if use_h0:
+            h0_ref, *rest = rest
+        (dz_ref, dpxi_ref, dwr_ref, dbr_ref, dwo_ref, dbo_ref,
          dls_ref, dlb_ref, *rest) = rest
         if fold:
             dwe_ref, dbe_ref = rest[:2]
             rest = rest[2:]
         if dpxj_in_kernel:
-            dpxj_ref, g0_ref, *win = rest
+            dpxj_ref, *rest = rest
+        if use_h0:
+            win = rest
         else:
             g0_ref, *win = rest
         i = pl.program_id(0)
@@ -1578,50 +1604,55 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
 
         @pl.when(fl_ref[i] == 1)
         def _():
-            if hbm_table:
-                win_ref, sem = win
-                cps = []
-                for k in range(K):
-                    tid = tid_ref[t, ec, k]
-                    cp = pltpu.make_async_copy(
-                        pxj_ref.at[pl.ds(jnp.maximum(tid, 0) * 128, 128)],
-                        win_ref.at[pl.ds(k * 128, 128)],
-                        sem.at[k],
-                    )
-
-                    @pl.when(tid >= 0)
-                    def _(cp=cp):
-                        cp.start()
-
-                    cps.append(cp)
             sl = sl_ref[0, 0]
-            g0_ref[...] = jnp.zeros((chunk, H), jnp.float32)
             cols128 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
-            for k in range(K):
-                tid = tid_ref[t, ec, k]
-
-                @pl.when(tid >= 0)
-                def _(k=k, tid=tid):
-                    if hbm_table:
-                        cps[k].wait()
-                        w_rows = win[0][pl.ds(k * 128, 128), :]
-                    else:
-                        base = pl.multiple_of(tid * 128, 128)
-                        w_rows = pxj_ref[pl.ds(base, 128), :]
-                    ohk = (cols128 == (sl - k * 128)[:, None]).astype(dt)
-                    g0_ref[...] += _dot(ohk, w_rows.astype(dt))
-
             recv = recv_ref[0, 0]
             m = mask_ref[0, 0]
             cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
             oh_g = (cols == recv[:, None]).astype(dt)
-            gath = _dot(oh_g, pxi_ref[0])
-
-            if fold:
-                pe_c = _dot(pe_ref[0], we_ref[:]) + be_ref[0][None, :]
+            if use_h0:
+                h = h0_ref[0]
             else:
-                pe_c = pe_ref[0]
-            h = jax.nn.relu(pe_c + g0_ref[...] + gath).astype(dt)
+                if hbm_table:
+                    win_ref, sem = win
+                    cps = []
+                    for k in range(K):
+                        tid = tid_ref[t, ec, k]
+                        cp = pltpu.make_async_copy(
+                            pxj_ref.at[
+                                pl.ds(jnp.maximum(tid, 0) * 128, 128)],
+                            win_ref.at[pl.ds(k * 128, 128)],
+                            sem.at[k],
+                        )
+
+                        @pl.when(tid >= 0)
+                        def _(cp=cp):
+                            cp.start()
+
+                        cps.append(cp)
+                g0_ref[...] = jnp.zeros((chunk, H), jnp.float32)
+                for k in range(K):
+                    tid = tid_ref[t, ec, k]
+
+                    @pl.when(tid >= 0)
+                    def _(k=k, tid=tid):
+                        if hbm_table:
+                            cps[k].wait()
+                            w_rows = win[0][pl.ds(k * 128, 128), :]
+                        else:
+                            base = pl.multiple_of(tid * 128, 128)
+                            w_rows = pxj_ref[pl.ds(base, 128), :]
+                        ohk = (cols128
+                               == (sl - k * 128)[:, None]).astype(dt)
+                        g0_ref[...] += _dot(ohk, w_rows.astype(dt))
+
+                gath = _dot(oh_g, pxi_ref[0])
+
+                if fold:
+                    pe_c = _dot(pe_ref[0], we_ref[:]) + be_ref[0][None, :]
+                else:
+                    pe_c = pe_ref[0]
+                h = jax.nn.relu(pe_c + g0_ref[...] + gath).astype(dt)
             hs = [h]
             for k in range(L1):
                 h = jax.nn.relu(_dot(h, wr_ref[k])
@@ -1731,8 +1762,9 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         out_specs = out_specs + (full(n_pad, H),)
     pxj_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_table
                 else full(n_pad, H))
-    scratch = [pltpu.VMEM((chunk, H), jnp.float32)]
+    scratch = [] if use_h0 else [pltpu.VMEM((chunk, H), jnp.float32)]
     if hbm_table:
+        assert not use_h0, "h0 cache is gated to the VMEM-table variant"
         scratch += [pltpu.VMEM((K * 128, H), pxj.dtype),
                     pltpu.SemaphoreType.DMA((K,))]
     pe_spec = pl.BlockSpec(
@@ -1740,6 +1772,10 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         lambda i, ct, cc, fl, tid: (ct[i], cc[i], 0))
     fold_specs = [full(Ce, H), full(1, H)] if fold else []
     fold_args = [we, be2] if fold else []
+    h0_specs = [pl.BlockSpec(
+        (1, chunk, H),
+        lambda i, ct, cc, fl, tid: (ct[i], cc[i], 0))] if use_h0 else []
+    h0_args = [h0] if use_h0 else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(ncl,),
@@ -1760,7 +1796,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                          lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
             pl.BlockSpec((1, tile_n, C),
                          lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
-        ],
+        ] + h0_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
@@ -1770,14 +1806,15 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         interpret=bool(os.environ.get("MAGNET_TPU_PALLAS_INTERPRET")),
         out_shape=outs,
         cost_estimate=pl.CostEstimate(
-            flops=4 * T * E * (K * 128 + tile_n * 2 + 2 * L1 * H
+            flops=4 * T * E * ((0 if use_h0 else K * 128 + tile_n)
+                               + tile_n + 2 * L1 * H
                                + 2 * C + (2 * Ce if fold else 0)) * H // 2,
             bytes_accessed=4 * (2 * T * E * H + n_pad * H
                                 + T * tile_n * (H + C)),
             transcendentals=0,
         ),
     )(ct, cc, flag, tids, pe, *fold_args, pxj, pxi, w_rest, b_rest,
-      w_out, b_out2, ln_s2, sl3, recv3, mask3, g)
+      w_out, b_out2, ln_s2, sl3, recv3, mask3, g, *h0_args)
     dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb = res[:8]
     res = res[8:]
     if fold:
@@ -1847,17 +1884,38 @@ def _make_fused2r(hbm_table: bool, fold_e: bool = False):
     def fwd(pe, we, be, pxj, pxi, w_rest, b_rest, w_out, b_out,
             ln_s, ln_b, tids, sl2, recv_local, mask,
             ct, cc, flag, snd_edge_ids, snd_local):
-        out = _fused2r_impl(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
-                            ln_s, ln_b, tids, sl2, recv_local, mask,
-                            ct, cc, flag, **_impl_args(pe, we, be))
+        # cache the post-relu first activation as a VJP residual so the
+        # backward kernel skips its gather/projection recompute entirely
+        # (one extra (E, H) compute-dtype write fwd + read bwd vs
+        # K sender one-hots + receiver gather + fold matmul per chunk).
+        # OPT-IN: at the bench shape this measured a net LOSS (47.9M vs
+        # 51.2M edges/s) — the kernels there are bound by per-chunk
+        # issue/VPU work, not the recomputed matmuls, and the extra
+        # per-chunk h0 block write-back costs more than the saved MXU
+        # time.  Kept for larger-H / deeper-tail shapes where the
+        # recompute dominates.
+        emit = (_use_pallas() and not hbm_table
+                and bool(os.environ.get("MAGNET_TPU_H0CACHE")))
+        if emit:
+            out, h0 = _fused2r_fwd_pallas(
+                pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
+                tids, sl2, recv_local, mask, ct, cc, flag,
+                hbm_table=hbm_table, emit_h0=True,
+                **({"we": we, "be": be} if fold_e else {}))
+        else:
+            out = _fused2r_impl(pe, pxj, pxi, w_rest, b_rest, w_out,
+                                b_out, ln_s, ln_b, tids, sl2, recv_local,
+                                mask, ct, cc, flag,
+                                **_impl_args(pe, we, be))
+            h0 = None
         return out, (pe, we, be, pxj, pxi, w_rest, b_rest, w_out, b_out,
                      ln_s, ln_b, tids, sl2, recv_local, mask, ct, cc,
-                     flag, snd_edge_ids, snd_local)
+                     flag, snd_edge_ids, snd_local, h0)
 
     def bwd(res, g):
         (pe, we, be, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
          tids, sl2, recv_local, mask, ct, cc, flag,
-         snd_edge_ids, snd_local) = res
+         snd_edge_ids, snd_local, h0) = res
         idx_nones = (None,) * 9
         if not _use_pallas():
             if fold_e:
@@ -1904,7 +1962,7 @@ def _make_fused2r(hbm_table: bool, fold_e: bool = False):
          dbe) = _fused2r_bwd_pallas(
             pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
             tids, sl2, recv_local, mask, ct, cc, flag, g,
-            hbm_table=hbm_table, dpxj_in_kernel=in_kernel,
+            hbm_table=hbm_table, dpxj_in_kernel=in_kernel, h0=h0,
             **({"we": we, "be": be} if fold_e else {}))
         if dpxj is None:
             # reduce d_z into sender rows via the transpose blocking.

@@ -832,12 +832,19 @@ def test_chunk_list_sticky_across_batches():
                 assert (ct[b][~real] == last).all()
 
 
-def test_fused2rf_folde_interpret_matches_ref(monkeypatch):
+@pytest.mark.parametrize("h0cache", [False, True])
+def test_fused2rf_folde_interpret_matches_ref(monkeypatch, h0cache):
     """fold-e variant (in-kernel edge projection e0 @ we + be, interpret
     mode): the public custom_vjp wrapper matches the jnp reference on the
     forward and full autodiff on every differentiable input, with
-    Ce != H."""
+    Ce != H.  h0cache=True additionally exercises the opt-in forward
+    activation cache (MAGNET_TPU_H0CACHE): the fwd kernel emits the
+    post-relu first activation and the bwd kernel consumes it instead of
+    recomputing the gathers/projection — results must be identical."""
     from magnet_tpu.ops import pallas_kernels as pk
+
+    if h0cache:
+        monkeypatch.setenv("MAGNET_TPU_H0CACHE", "1")
 
     rng = np.random.default_rng(45)
     Ce = 32
