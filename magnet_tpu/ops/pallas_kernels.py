@@ -1330,6 +1330,17 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # TIMING-ONLY ablations (wrong results!) for locating the in-kernel
+    # limiter: MAGNET_TPU_ABLATE=onehot,gather,ln (comma list)
+    _ABLATE = set(filter(None, os.environ.get(
+        "MAGNET_TPU_ABLATE", "").split(",")))
+    # merged sender+receiver one-hot gather (one deep-k matmul instead of
+    # K accumulating 128-deep matmuls + a separate receiver gather).
+    # OPT-IN on the forward: measured 0.815 vs 0.772 ms at the bench
+    # shape — the per-chunk scratch copies + dense (chunk, (K+1)*128)
+    # construction cost more than the saved matmul issues there.
+    merged_oh = (not hbm_table and not _ABLATE
+                 and bool(os.environ.get("MAGNET_TPU_MERGEOH_FWD")))
     fold = we is not None
     if fold:
         # pe is the raw (scan-invariant) edge latents e0 (T, E, Ce); the
@@ -1367,7 +1378,10 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
          out_ref, *rest) = rest
         if emit_h0:
             h0_ref, *rest = rest
-        g0_ref, *win = rest
+        if merged_oh:
+            comb_ref, *win = rest
+        else:
+            g0_ref, *win = rest
         i = pl.program_id(0)
         t = ct_ref[i]
         ec = cc_ref[i]
@@ -1398,31 +1412,79 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
 
                     cps.append(cp)
             sl = sl_ref[0, 0]
-            g0_ref[...] = jnp.zeros((chunk, H), jnp.float32)
-            cols128 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
-            for k in range(K):
-                tid = tid_ref[t, ec, k]
-
-                @pl.when(tid >= 0)
-                def _(k=k, tid=tid):
-                    if hbm_table:
-                        cps[k].wait()
-                        w_rows = win[0][pl.ds(k * 128, 128), :]
-                    else:
-                        base = pl.multiple_of(tid * 128, 128)
-                        w_rows = pxj_ref[pl.ds(base, 128), :]
-                    ohk = (cols128 == (sl - k * 128)[:, None]).astype(dt)
-                    g0_ref[...] += _dot(ohk, w_rows.astype(dt))
-
             recv = recv_ref[0, 0]
-            cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
-            oh_g = (cols == recv[:, None]).astype(dt)
-            gath = _dot(oh_g, pxi_ref[0])
+            if merged_oh:
+                # merged sender+receiver gather: copy the <=K live sender
+                # tiles plus the pxi tile into one contiguous scratch and
+                # gather via ONE deep-k matmul — replaces K serial
+                # accumulating 128-deep one-hot matmuls (+ the separate
+                # receiver gather), whose VMEM accumulate round-trips and
+                # per-matmul issue dominate the kernel (ablation:
+                # construction 21% + gather matmuls 45% of fwd time)
+                for k in range(K):
+                    tid = tid_ref[t, ec, k]
+
+                    @pl.when(tid >= 0)
+                    def _(k=k, tid=tid):
+                        base = pl.multiple_of(tid * 128, 128)
+                        comb_ref[pl.ds(k * 128, 128), :] = (
+                            pxj_ref[pl.ds(base, 128), :].astype(dt))
+
+                    @pl.when(tid < 0)
+                    def _(k=k):
+                        # zero dead windows: their one-hot columns are
+                        # never selected, but 0 * garbage(NaN) would
+                        # poison the f32 accumulation
+                        comb_ref[pl.ds(k * 128, 128), :] = jnp.zeros(
+                            (128, H), dt)
+
+                comb_ref[pl.ds(K * 128, tile_n), :] = (
+                    pxi_ref[0].astype(dt))
+                colsw = jax.lax.broadcasted_iota(
+                    jnp.int32, (chunk, K * 128 + tile_n), 1)
+                oh_w = jnp.logical_or(
+                    colsw == sl[:, None],
+                    colsw == (K * 128 + recv)[:, None]).astype(dt)
+                gg = _dot(oh_w, comb_ref[...])          # g0 + gath fused
+            else:
+                g0_ref[...] = jnp.zeros((chunk, H), jnp.float32)
+                cols128 = jax.lax.broadcasted_iota(
+                    jnp.int32, (chunk, 128), 1)
+                for k in range(K):
+                    tid = tid_ref[t, ec, k]
+
+                    @pl.when(tid >= 0)
+                    def _(k=k, tid=tid):
+                        if hbm_table:
+                            cps[k].wait()
+                            w_rows = win[0][pl.ds(k * 128, 128), :]
+                        else:
+                            base = pl.multiple_of(tid * 128, 128)
+                            w_rows = pxj_ref[pl.ds(base, 128), :]
+                        if "onehot" in _ABLATE:
+                            ohk = (cols128 * 0).astype(dt)
+                        else:
+                            ohk = (cols128
+                                   == (sl - k * 128)[:, None]).astype(dt)
+                        if "gather" not in _ABLATE:
+                            g0_ref[...] += _dot(ohk, w_rows.astype(dt))
+
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (chunk, tile_n), 1)
+                if "onehot" in _ABLATE:
+                    oh_g = (cols * 0).astype(dt)
+                else:
+                    oh_g = (cols == recv[:, None]).astype(dt)
+                if "gather" in _ABLATE:
+                    gath = jnp.zeros((chunk, H), jnp.float32)
+                else:
+                    gath = _dot(oh_g, pxi_ref[0])
+                gg = g0_ref[...] + gath
             if fold:
                 pe_c = _dot(pe_ref[0], we_ref[:]) + be_ref[0][None, :]
             else:
                 pe_c = pe_ref[0]
-            h = jax.nn.relu(pe_c + g0_ref[...] + gath).astype(dt)
+            h = jax.nn.relu(pe_c + gg).astype(dt)
             if emit_h0:
                 # cache the post-relu first activation for the backward:
                 # the bwd kernel then skips the K sender one-hot gathers,
@@ -1433,20 +1495,28 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                 h = jax.nn.relu(_dot(h, wr_ref[k])
                                 + br_ref[k][None, :]).astype(dt)
             y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
-            mu = jnp.mean(y, axis=-1, keepdims=True)
-            var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
-            y = (y - mu) * jax.lax.rsqrt(var + LN_EPS) \
-                * ls_ref[0][None, :] + lb_ref[0][None, :]
+            if "ln" not in _ABLATE:
+                mu = jnp.mean(y, axis=-1, keepdims=True)
+                var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+                y = (y - mu) * jax.lax.rsqrt(var + LN_EPS) \
+                    * ls_ref[0][None, :] + lb_ref[0][None, :]
             m = mask_ref[0, 0]
             rws = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
-            oh_a = (rws == recv[None, :]).astype(dt) * m[None, :].astype(dt)
+            if "onehot" in _ABLATE:
+                oh_a = (rws * 0).astype(dt)
+            else:
+                oh_a = (rws == recv[None, :]).astype(dt) \
+                    * m[None, :].astype(dt)
             out_ref[0] = out_ref[0] + _dot(oh_a, y.astype(dt))
 
     full = lambda *shape: pl.BlockSpec(
         shape, lambda i, ct, cc, fl, tid: (0,) * len(shape))
     pxj_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_table
                 else full(n_pad, H))
-    scratch = [pltpu.VMEM((chunk, H), jnp.float32)]
+    if merged_oh:
+        scratch = [pltpu.VMEM((K * 128 + tile_n, H), dt)]
+    else:
+        scratch = [pltpu.VMEM((chunk, H), jnp.float32)]
     if hbm_table:
         scratch += [pltpu.VMEM((K * 128, H), pxj.dtype),
                     pltpu.SemaphoreType.DMA((K,))]
@@ -1514,6 +1584,9 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
     # skips the K sender one-hot gathers, the receiver gather, and the
     # fold-e projection recompute (bit-identical to the recompute)
     use_h0 = h0 is not None
+    # merged one-hot gathers (see _fused2r_fwd_pallas)
+    merged_oh = (not hbm_table
+                 and not os.environ.get("MAGNET_TPU_NO_MERGEOH"))
     if fold:
         # pe is e0 (T, E, Ce); recompute the in-kernel projection and emit
         # d_e0 (= d_h @ we^T) instead of d_z, plus dwe/dbe accumulators
@@ -1573,6 +1646,8 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             dpxj_ref, *rest = rest
         if use_h0:
             win = rest
+        elif merged_oh:
+            comb_ref, *win = rest
         else:
             g0_ref, *win = rest
         i = pl.program_id(0)
@@ -1610,6 +1685,12 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             m = mask_ref[0, 0]
             cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_n), 1)
             oh_g = (cols == recv[:, None]).astype(dt)
+            if merged_oh and dpxj_in_kernel:
+                # sender-only merged one-hot, shared by the recompute
+                # (concat with oh_g) and the d_pxj transpose scatter
+                colss = jax.lax.broadcasted_iota(
+                    jnp.int32, (chunk, K * 128), 1)
+                oh_s = (colss == sl[:, None]).astype(dt)
             if use_h0:
                 h = h0_ref[0]
             else:
@@ -1630,29 +1711,54 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                             cp.start()
 
                         cps.append(cp)
-                g0_ref[...] = jnp.zeros((chunk, H), jnp.float32)
-                for k in range(K):
-                    tid = tid_ref[t, ec, k]
+                if merged_oh:
+                    for k in range(K):
+                        tid = tid_ref[t, ec, k]
 
-                    @pl.when(tid >= 0)
-                    def _(k=k, tid=tid):
-                        if hbm_table:
-                            cps[k].wait()
-                            w_rows = win[0][pl.ds(k * 128, 128), :]
-                        else:
+                        @pl.when(tid >= 0)
+                        def _(k=k, tid=tid):
                             base = pl.multiple_of(tid * 128, 128)
-                            w_rows = pxj_ref[pl.ds(base, 128), :]
-                        ohk = (cols128
-                               == (sl - k * 128)[:, None]).astype(dt)
-                        g0_ref[...] += _dot(ohk, w_rows.astype(dt))
+                            comb_ref[pl.ds(k * 128, 128), :] = (
+                                pxj_ref[pl.ds(base, 128), :].astype(dt))
 
-                gath = _dot(oh_g, pxi_ref[0])
+                        @pl.when(tid < 0)
+                        def _(k=k):
+                            comb_ref[pl.ds(k * 128, 128), :] = jnp.zeros(
+                                (128, H), dt)
+
+                    comb_ref[pl.ds(K * 128, tile_n), :] = (
+                        pxi_ref[0].astype(dt))
+                    if not dpxj_in_kernel:
+                        colss = jax.lax.broadcasted_iota(
+                            jnp.int32, (chunk, K * 128), 1)
+                        oh_s = (colss == sl[:, None]).astype(dt)
+                    oh_w = jnp.concatenate([oh_s, oh_g], axis=1)
+                    gg = _dot(oh_w, comb_ref[...])
+                else:
+                    g0_ref[...] = jnp.zeros((chunk, H), jnp.float32)
+                    for k in range(K):
+                        tid = tid_ref[t, ec, k]
+
+                        @pl.when(tid >= 0)
+                        def _(k=k, tid=tid):
+                            if hbm_table:
+                                cps[k].wait()
+                                w_rows = win[0][pl.ds(k * 128, 128), :]
+                            else:
+                                base = pl.multiple_of(tid * 128, 128)
+                                w_rows = pxj_ref[pl.ds(base, 128), :]
+                            ohk = (cols128
+                                   == (sl - k * 128)[:, None]).astype(dt)
+                            g0_ref[...] += _dot(ohk, w_rows.astype(dt))
+
+                    gath = _dot(oh_g, pxi_ref[0])
+                    gg = g0_ref[...] + gath
 
                 if fold:
                     pe_c = _dot(pe_ref[0], we_ref[:]) + be_ref[0][None, :]
                 else:
                     pe_c = pe_ref[0]
-                h = jax.nn.relu(pe_c + g0_ref[...] + gath).astype(dt)
+                h = jax.nn.relu(pe_c + gg).astype(dt)
             hs = [h]
             for k in range(L1):
                 h = jax.nn.relu(_dot(h, wr_ref[k])
@@ -1705,16 +1811,31 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                 # one-hots (VMEM-resident (n_pad, H) output) — replaces
                 # the E-sized XLA transpose-gather + segment sum
                 d_hc = d_h.astype(dt)
-                for k in range(K):
-                    tid = tid_ref[t, ec, k]
+                if merged_oh:
+                    # one deep-k transpose matmul over the merged sender
+                    # one-hot, then per-window VMEM adds (dead windows'
+                    # rows are zero — sl never points at them)
+                    tmp = _dot_t(oh_s, d_hc)              # (K*128, H) f32
+                    for k in range(K):
+                        tid = tid_ref[t, ec, k]
 
-                    @pl.when(tid >= 0)
-                    def _(k=k, tid=tid):
-                        ohk = (cols128
-                               == (sl - k * 128)[:, None]).astype(dt)
-                        sli = pl.ds(tid * 128, 128)
-                        dpxj_ref[sli, :] = (dpxj_ref[sli, :]
-                                            + _dot_t(ohk, d_hc))
+                        @pl.when(tid >= 0)
+                        def _(k=k, tid=tid):
+                            sli = pl.ds(tid * 128, 128)
+                            dpxj_ref[sli, :] = (
+                                dpxj_ref[sli, :]
+                                + tmp[k * 128:(k + 1) * 128, :])
+                else:
+                    for k in range(K):
+                        tid = tid_ref[t, ec, k]
+
+                        @pl.when(tid >= 0)
+                        def _(k=k, tid=tid):
+                            ohk = (cols128
+                                   == (sl - k * 128)[:, None]).astype(dt)
+                            sli = pl.ds(tid * 128, 128)
+                            dpxj_ref[sli, :] = (dpxj_ref[sli, :]
+                                                + _dot_t(ohk, d_hc))
 
             if L1:
                 dwr_new = jnp.stack(dwr_list[::-1])
@@ -1762,7 +1883,12 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         out_specs = out_specs + (full(n_pad, H),)
     pxj_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_table
                 else full(n_pad, H))
-    scratch = [] if use_h0 else [pltpu.VMEM((chunk, H), jnp.float32)]
+    if use_h0:
+        scratch = []
+    elif merged_oh:
+        scratch = [pltpu.VMEM((K * 128 + tile_n, H), dt)]
+    else:
+        scratch = [pltpu.VMEM((chunk, H), jnp.float32)]
     if hbm_table:
         assert not use_h0, "h0 cache is gated to the VMEM-table variant"
         scratch += [pltpu.VMEM((K * 128, H), pxj.dtype),
