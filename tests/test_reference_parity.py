@@ -689,3 +689,187 @@ def test_magnet_cnn_full_window_forward(ref_magnet_cnn):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(o_hr), _n(out_hr), rtol=1e-4,
                                atol=2e-5)
+
+
+# --------------------------------------------------------------------------
+# Round 2: loss-level parity for the remaining families (fno_2d,
+# magnet_cnn_2d, no_interaction).  mpnn_2d is covered at the (corrected)
+# forward level only — its reference training_step crashes on its own
+# pos-column bug (mpnn_2d.py:179), see test_mpnn_2d_full_forward.
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("tf", [True, False])
+def test_fno2d_training_and_val_loss_parity(tf):
+    """FNO2d training_step / validation_step rollout losses (reference
+    fno_2d.py:141-201) == our loss(train=True/False)."""
+    m = ref_stubs.load("models.fno_2d")
+    hp = NS(**{**FNO_HP, "teacher_forcing": tf}, modes_1=3, modes_2=3,
+            width=8, num_layers=2, time_history=4, time_future=4)
+    ref = m.FNO2d(hp)
+    rng = np.random.default_rng(51)
+    B, H, W, nt = 2, 10, 12, 12                       # th=4 + 2 windows
+    u = rng.normal(size=(B, nt, H, W)).astype(np.float32)
+    dx = np.asarray([0.1, 0.2], np.float32)
+    dy = np.asarray([0.15, 0.25], np.float32)
+    dt = np.asarray([0.01, 0.02], np.float32)
+    tb = (_t(u), _t(dx), _t(dy), _t(dt))
+    with torch.no_grad():
+        ref_train = float(ref.training_step(tb, 0))
+        ref.validation_step(tb, 0)
+
+    from magnet_tpu.models.factory import create_model
+
+    ours = create_model("fno_2d", dict(modes_1=3, modes_2=3, width=8,
+                                       num_layers=2, time_history=4,
+                                       time_future=4, teacher_forcing=tf,
+                                       loss="l1"))
+    params = _j(imp.import_state_dict("fno_2d", _sd(ref), vars(hp)))
+    jb = {"u": jnp.asarray(u), "dx": jnp.asarray(dx),
+          "dy": jnp.asarray(dy), "dt": jnp.asarray(dt)}
+    loss, _ = ours.loss(params, jb, None, train=True)
+    np.testing.assert_allclose(float(loss), ref_train, rtol=1e-5, atol=1e-6)
+    vloss, _ = ours.loss(params, jb, None, train=False)
+    np.testing.assert_allclose(
+        float(vloss), ref._logged["val_loss"], rtol=1e-5, atol=1e-6
+    )
+
+
+CNN2D_HP = dict(lr=1e-3, weight_decay=0.0, factor=0.3, step_size=50,
+                loss="l1", time_slice=3, num_message_passing_steps=2,
+                latent_dim=8, mlp_layers=2, mlp_hidden=16, scales=1,
+                res_layers=2, n_chan=8, kernel_size=3, res_scale=1,
+                interpolation="area", radius=0.6, teacher_forcing=True)
+
+
+def _cnn2d_batch(rng, B=2, W=6, N=4, ts=3):
+    nt = 3 * ts                                       # 2 rollout windows
+    return {
+        "t": np.linspace(0, 1, nt, dtype=np.float32)[None].repeat(B, 0),
+        "lr_frames": rng.normal(size=(B, nt, 1, W, W)).astype(np.float32),
+        "hr_points": rng.normal(size=(B, nt, N, 1)).astype(np.float32),
+        "coords": rng.uniform(-1, 1, (B, N, 2)).astype(np.float32),
+        "cells": np.full((B, N, 2), 2.0 / (2 * W), np.float32),
+    }
+
+
+@pytest.mark.parametrize("tf", [True, False])
+def test_magnet_cnn_2d_training_step_loss_parity(tf):
+    """2D training_step loss: multi-window rollout over HR points + LR
+    pixels plus the interp term (reference magnet_cnn_2d.py:403-445) ==
+    our loss(train=True)."""
+    m = ref_stubs.load("models.magnet_cnn_2d")
+    hp = dict(CNN2D_HP, teacher_forcing=tf)
+    ref = m.MAgNetCNN_2d(NS(**hp))
+    batch_np = _cnn2d_batch(np.random.default_rng(52))
+    with torch.no_grad():
+        ref_loss = float(ref.training_step(
+            {k: _t(v) for k, v in batch_np.items()}, 0
+        ))
+
+    from magnet_tpu.models.factory import create_model
+
+    ours = create_model("magnet_cnn_2d", hp)
+    params = _j(imp.import_state_dict("magnet_cnn_2d", _sd(ref), hp))
+    jb = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    g = ours.build_graph(jb)
+    loss, metrics = ours.loss(params, jb, g, train=True)
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        float(metrics["mae_loss"]), ref._logged["train_mae_loss"],
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(metrics["interp_loss"]), ref._logged["train_interp_loss"],
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_magnet_cnn_2d_validation_step_loss_parity():
+    """2D validation_step (no TF; sqrt(N)-grid reshape + bilinear
+    interpolate feedback, reference magnet_cnn_2d.py:447-478) == our
+    loss(train=False).  N must be a perfect square for the reference's
+    own reshape — the val dataloader samples the full pixel grid."""
+    m = ref_stubs.load("models.magnet_cnn_2d")
+    ref = m.MAgNetCNN_2d(NS(**CNN2D_HP))
+    batch_np = _cnn2d_batch(np.random.default_rng(53), N=4)
+    with torch.no_grad():
+        ref.validation_step({k: _t(v) for k, v in batch_np.items()}, 0)
+
+    from magnet_tpu.models.factory import create_model
+
+    ours = create_model("magnet_cnn_2d", CNN2D_HP)
+    params = _j(imp.import_state_dict("magnet_cnn_2d", _sd(ref), CNN2D_HP))
+    jb = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    g = ours.build_graph(jb)
+    loss, metrics = ours.loss(params, jb, g, train=False)
+    np.testing.assert_allclose(
+        float(loss), ref._logged["val_loss"], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(metrics["mae_loss"]), ref._logged["val_mae_loss"],
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+NOINT_HP = dict(lr=1e-3, weight_decay=0.0, factor=0.3, step_size=50,
+                loss="l1", time_slice=4, use_lstm=True, lstm_hidden=8,
+                lstm_layers=2, mlp_layers=1, mlp_hidden=8, scales=1,
+                n_chan=8, kernel_size=3, res_scale=1, res_layers=2,
+                interpolation="area", teacher_forcing=True)
+
+
+@pytest.mark.parametrize("tf", [True, False])
+def test_no_interaction_training_and_val_loss_parity(monkeypatch, tf):
+    """no_interaction training_step (scatter feedback at sample_idx when
+    not teacher forcing, reference magnet_cnn_no_interaction.py:253-291)
+    and validation_step (prediction-as-frames feedback, :293-319) == our
+    loss(train=True/False).  N == L so the reference's val feedback keeps
+    a static frame shape (matching the val dataloader's full-grid
+    sampling); the torch.randn LSTM latent init is pinned to a fixed
+    array fed to both sides."""
+    m = ref_stubs.load("models.magnet_cnn_no_interaction")
+    hp = dict(NOINT_HP, teacher_forcing=tf)
+    ref = m.MAgNetCNN_no_interaction(NS(**hp))
+    rng = np.random.default_rng(54)
+    B, L, ts = 2, 12, 4
+    N, nt = L, 3 * ts                                 # 2 rollout windows
+    batch_np = {
+        "t": np.linspace(0, 1, nt, dtype=np.float32)[None].repeat(B, 0),
+        "hr_frames": rng.normal(size=(B, nt, 1, L)).astype(np.float32),
+        "hr_points": rng.normal(size=(B, nt, N, 1)).astype(np.float32),
+        "coords": np.sort(rng.uniform(-1, 1, (B, N, 1)).astype(np.float32), 1),
+        "cells": np.full((B, N, 1), 2.0 / (2 * L), np.float32),
+        "sample_idx": np.stack(
+            [np.sort(rng.permutation(L)) for _ in range(B)]
+        ),
+    }
+    latent0 = rng.normal(size=(B, N, hp["lstm_hidden"])).astype(np.float32)
+    monkeypatch.setattr(m.torch, "randn",
+                        lambda *s, **k: torch.as_tensor(latent0))
+    with torch.no_grad():
+        ref_train = float(ref.training_step(
+            {k: _t(v) for k, v in batch_np.items()}, 0
+        ))
+        ref.validation_step({k: _t(v) for k, v in batch_np.items()}, 0)
+
+    from magnet_tpu.models.factory import create_model
+
+    ours = create_model("magnet_cnn_no_interaction", hp)
+    ours._latent0 = lambda rng, B, N: jnp.asarray(latent0)
+    params = _j(imp.import_state_dict(
+        "magnet_cnn_no_interaction", _sd(ref), hp))
+    jb = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    loss, metrics = ours.loss(params, jb, None, train=True)
+    np.testing.assert_allclose(float(loss), ref_train, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        float(metrics["mae_loss"]), ref._logged["train_mae_loss"],
+        rtol=1e-5, atol=1e-6,
+    )
+    vloss, vmetrics = ours.loss(params, jb, None, train=False)
+    np.testing.assert_allclose(
+        float(vloss), ref._logged["val_loss"], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(vmetrics["mae_loss"]), ref._logged["val_mae_loss"],
+        rtol=1e-5, atol=1e-6,
+    )
