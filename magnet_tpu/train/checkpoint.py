@@ -26,10 +26,34 @@ def save_checkpoint(path: str, state: dict[str, Any], meta: dict[str, Any]):
         json.dump(meta, f)
 
 
+_WRAP_KEYS = {"inner_state", "total_notfinite", "notfinite_count",
+              "last_finite"}
+
+
+def _adapt_opt_state(stored, target_sd):
+    """Reconcile opt_state layouts across the ``skip_nonfinite`` toggle.
+
+    ``optax.apply_if_finite`` wraps the chain state in ApplyIfFiniteState
+    (keys: inner_state + counters); a checkpoint written with the other
+    setting would otherwise fail structural restore.  Wrapping keeps the
+    target's fresh counters; unwrapping drops them."""
+    s_wrapped = isinstance(stored, dict) and _WRAP_KEYS <= set(stored)
+    t_wrapped = isinstance(target_sd, dict) and _WRAP_KEYS <= set(target_sd)
+    if s_wrapped and not t_wrapped:
+        return stored["inner_state"]
+    if t_wrapped and not s_wrapped:
+        return {**target_sd, "inner_state": stored}
+    return stored
+
+
 def load_checkpoint(path: str, target: Optional[dict] = None):
     with open(path, "rb") as f:
         state = serialization.msgpack_restore(f.read())
     if target is not None:
+        if isinstance(state, dict) and "opt_state" in state \
+                and "opt_state" in target:
+            tsd = serialization.to_state_dict(target)["opt_state"]
+            state["opt_state"] = _adapt_opt_state(state["opt_state"], tsd)
         state = serialization.from_state_dict(target, state)
     meta = {}
     if os.path.exists(path + ".json"):

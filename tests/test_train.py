@@ -213,3 +213,49 @@ def test_skip_nonfinite_guard():
     upd, state = tx.update(good, state, params)
     p3 = optax.apply_updates(params, upd)
     assert not np.allclose(np.asarray(p3["w"]), np.ones(3))
+
+
+def test_resume_across_skip_nonfinite_toggle(tmp_path):
+    """A checkpoint written WITHOUT skip_nonfinite restores into an
+    apply_if_finite-wrapped optimizer (and vice versa): the inner Adam
+    state survives, the wrapper counters start fresh.  Regression: the
+    magnet_cnn_2d NaN-recovery resume crashed on the structural
+    mismatch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from magnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from magnet_tpu.train.optim import make_optimizer
+
+    params = {"w": jnp.arange(4.0)}
+    plain = make_optimizer(1e-3, skip_nonfinite=False)
+    wrapped = make_optimizer(1e-3, skip_nonfinite=True)
+    st_plain = plain.init(params)
+    # advance the plain state so the restore carries real values
+    upd, st_plain = plain.update({"w": jnp.ones(4)}, st_plain, params)
+
+    p = str(tmp_path / "ck.msgpack")
+    save_checkpoint(p, {"params": params, "opt_state": st_plain},
+                    {"epoch": 3})
+    state, meta = load_checkpoint(
+        p, {"params": params, "opt_state": wrapped.init(params)})
+    assert meta["epoch"] == 3
+    inner = state["opt_state"].inner_state
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(inner)[0]),
+        np.asarray(jax.tree.leaves(st_plain)[0]))
+    # and the wrapped run keeps training
+    upd, _ = wrapped.update({"w": jnp.ones(4)}, state["opt_state"],
+                            state["params"])
+
+    # reverse direction: wrapped checkpoint into a plain optimizer
+    st_w = wrapped.init(params)
+    upd, st_w = wrapped.update({"w": jnp.ones(4)}, st_w, params)
+    p2 = str(tmp_path / "ck2.msgpack")
+    save_checkpoint(p2, {"params": params, "opt_state": st_w}, {"epoch": 5})
+    state2, _ = load_checkpoint(
+        p2, {"params": params, "opt_state": plain.init(params)})
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(state2["opt_state"])[0]),
+        np.asarray(jax.tree.leaves(st_w.inner_state)[0]))
