@@ -69,6 +69,7 @@ class Trainer:
         check_val_every: int = 1,
         steps_per_call: int = 1,
         skip_nonfinite: bool = False,
+        grad_clip: float = 0.0,
     ):
         self.model = model
         self.max_epochs = max_epochs
@@ -98,6 +99,12 @@ class Trainer:
         # (the per-key sharding layout in _put doesn't stack).
         self.steps_per_call = max(1, int(steps_per_call))
         self.skip_nonfinite = bool(skip_nonfinite)
+        # global-norm gradient clipping (Lightning's gradient_clip_val
+        # analog — the reference STACK supports it though its configs
+        # leave it unset).  Applied to the grads before the optimizer, not
+        # as an optax transform, so the opt_state layout (and therefore
+        # checkpoint compatibility) is independent of the setting.
+        self.grad_clip = float(grad_clip)
         if self.steps_per_call > 1 and graph_shards > 1:
             log.warning(
                 "steps_per_call > 1 unsupported with graph_shards > 1; using 1"
@@ -126,6 +133,14 @@ class Trainer:
 
         partitioned = self.graph_shards > 1
         mesh = self.mesh
+        clip = self.grad_clip
+
+        def _clip(grads):
+            if clip <= 0:
+                return grads
+            gn = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, clip / jnp.maximum(gn, 1e-12))
+            return jax.tree.map(lambda g: g * scale, grads)
 
         def train_step(params, opt_state, batch, graph, rng):
             def lfn(p):
@@ -136,7 +151,7 @@ class Trainer:
                 return model.loss(p, batch, graph, rng=rng, train=True)
 
             (loss, metrics), grads = jax.value_and_grad(lfn, has_aux=True)(params)
-            updates, opt_state = self._tx.update(grads, opt_state, params)
+            updates, opt_state = self._tx.update(_clip(grads), opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
 
@@ -159,7 +174,7 @@ class Trainer:
                 lambda p: model.loss(p, batch, graph, rng=rng, train=True),
                 has_aux=True,
             )(params)
-            updates, opt_state = self._tx.update(grads, opt_state, params)
+            updates, opt_state = self._tx.update(_clip(grads), opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), metrics
 

@@ -80,6 +80,7 @@ def main(argv=None):
         check_val_every=int(cfg.trainer.get("check_val_every", 1)),
         steps_per_call=int(cfg.trainer.get("steps_per_call", 1)),
         skip_nonfinite=bool(cfg.trainer.get("skip_nonfinite", False)),
+        grad_clip=float(cfg.trainer.get("grad_clip", 0.0)),
     )
     resume = cfg.get("ckpt_path") or None
     trainer.fit(loaders["train"], loaders["val"], resume=resume)

@@ -66,11 +66,12 @@ PY
     break
   fi
   echo "=== segment $seg: resuming from ${ck:-scratch} at epoch $done_ep ==="
-  # skip_nonfinite: a single exploding step at epoch 30 NaN'd the first
-  # attempt (healthy 0.046 val before it); apply_if_finite drops such
-  # updates instead of poisoning the params
+  # skip_nonfinite + grad_clip: an exploding step at epoch ~30 NaN'd the
+  # first two attempts (healthy 0.046 val before it).  apply_if_finite
+  # alone did NOT save it — the spike is huge-but-FINITE, so the update
+  # applies and poisons the params; global-norm clipping at 1.0 caps it.
   timeout "$SEG_TIMEOUT" python -u run.py seed=42 name=$NAME \
-    trainer.skip_nonfinite=true \
+    trainer.skip_nonfinite=true trainer.grad_clip=1.0 \
     model=magnet_cnn_2d datamodule=h5_datamodule_implicit_2d \
     datamodule.train_path=data/B1/burgers_train_B1_64.h5 \
     datamodule.val_path=data/B1/burgers_test_B1_64.h5 \
