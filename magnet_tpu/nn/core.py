@@ -106,7 +106,13 @@ class LayerNorm(fnn.Module):
 
     @fnn.compact
     def __call__(self, x):
-        return fnn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        # use_fast_variance=False: flax's default E[x^2]-mu^2 form can
+        # cancel NEGATIVE on near-constant large-magnitude rows and NaN
+        # the rsqrt; torch LayerNorm computes E[(x-mu)^2] >= 0 (this
+        # NaN'd the B1-64 magnet_cnn_2d campaign at epoch 30 — the INR
+        # proj_head LayerNorm was the entry point)
+        return fnn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             use_fast_variance=False)(x)
 
 
 class MLP(fnn.Module):

@@ -130,7 +130,9 @@ class InteractionNetwork(fnn.Module):
         y = cast(h) @ cast(self.w_out) + cast(self.b_out)
         y32 = y.astype(jnp.float32)
         mu = jnp.mean(y32, axis=-1, keepdims=True)
-        var = jnp.mean(y32 * y32, axis=-1, keepdims=True) - mu * mu
+        # two-pass variance (torch LayerNorm semantics; the fast
+        # E[y^2]-mu^2 form can cancel negative and NaN the rsqrt)
+        var = jnp.mean((y32 - mu) * (y32 - mu), axis=-1, keepdims=True)
         y32 = (y32 - mu) * jax.lax.rsqrt(var + 1e-5) * self.ln_scale \
             + self.ln_bias
         return cast(y32) if dt is not None else y32

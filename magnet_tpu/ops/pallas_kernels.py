@@ -219,7 +219,11 @@ def _tail_ref(h0g, w_rest, b_rest, w_out, b_out, ln_s, ln_b):
         h = jax.nn.relu(h @ w_rest[k] + b_rest[k])
     y = h @ w_out + b_out
     mu = jnp.mean(y, axis=-1, keepdims=True)
-    var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+    # two-pass variance: E[(y-mu)^2] stays >= 0 where the
+    # fast form E[y^2]-mu^2 can cancel NEGATIVE and NaN the
+    # rsqrt (torch LayerNorm semantics; B1-64 epoch-30 NaN)
+    var = jnp.mean((y - mu) * (y - mu), axis=-1,
+                   keepdims=True)
     return (y - mu) * jax.lax.rsqrt(var + LN_EPS) * ln_s + ln_b
 
 
@@ -311,7 +315,11 @@ def _fused_fwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
                                 + br_ref[k][None, :]).astype(dt)
             y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
             mu = jnp.mean(y, axis=-1, keepdims=True)
-            var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+            # two-pass variance: E[(y-mu)^2] stays >= 0 where the
+            # fast form E[y^2]-mu^2 can cancel NEGATIVE and NaN the
+            # rsqrt (torch LayerNorm semantics; B1-64 epoch-30 NaN)
+            var = jnp.mean((y - mu) * (y - mu), axis=-1,
+                           keepdims=True)
             y = (y - mu) * jax.lax.rsqrt(var + LN_EPS) * ls_ref[0][None, :] \
                 + lb_ref[0][None, :]
             rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, chunk), 0)
@@ -431,7 +439,11 @@ def _fused_bwd_pallas(h0, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
                 hs.append(h)
             y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
             mu = jnp.mean(y, axis=-1, keepdims=True)
-            var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+            # two-pass variance: E[(y-mu)^2] stays >= 0 where the
+            # fast form E[y^2]-mu^2 can cancel NEGATIVE and NaN the
+            # rsqrt (torch LayerNorm semantics; B1-64 epoch-30 NaN)
+            var = jnp.mean((y - mu) * (y - mu), axis=-1,
+                           keepdims=True)
             inv = jax.lax.rsqrt(var + LN_EPS)
             xhat = (y - mu) * inv
 
@@ -969,7 +981,11 @@ def _fused2_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                                 + br_ref[k][None, :]).astype(dt)
             y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
             mu = jnp.mean(y, axis=-1, keepdims=True)
-            var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+            # two-pass variance: E[(y-mu)^2] stays >= 0 where the
+            # fast form E[y^2]-mu^2 can cancel NEGATIVE and NaN the
+            # rsqrt (torch LayerNorm semantics; B1-64 epoch-30 NaN)
+            var = jnp.mean((y - mu) * (y - mu), axis=-1,
+                           keepdims=True)
             y = (y - mu) * jax.lax.rsqrt(var + LN_EPS) \
                 * ls_ref[0][None, :] + lb_ref[0][None, :]
             m = mask_ref[0, 0]
@@ -1103,7 +1119,11 @@ def _fused2_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                 hs.append(h)
             y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
             mu = jnp.mean(y, axis=-1, keepdims=True)
-            var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+            # two-pass variance: E[(y-mu)^2] stays >= 0 where the
+            # fast form E[y^2]-mu^2 can cancel NEGATIVE and NaN the
+            # rsqrt (torch LayerNorm semantics; B1-64 epoch-30 NaN)
+            var = jnp.mean((y - mu) * (y - mu), axis=-1,
+                           keepdims=True)
             inv = jax.lax.rsqrt(var + LN_EPS)
             xhat = (y - mu) * inv
 
@@ -1497,7 +1517,11 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
             if "ln" not in _ABLATE:
                 mu = jnp.mean(y, axis=-1, keepdims=True)
-                var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+                # two-pass variance: E[(y-mu)^2] stays >= 0 where the
+                # fast form E[y^2]-mu^2 can cancel NEGATIVE and NaN the
+                # rsqrt (torch LayerNorm semantics; B1-64 epoch-30 NaN)
+                var = jnp.mean((y - mu) * (y - mu), axis=-1,
+                               keepdims=True)
                 y = (y - mu) * jax.lax.rsqrt(var + LN_EPS) \
                     * ls_ref[0][None, :] + lb_ref[0][None, :]
             m = mask_ref[0, 0]
@@ -1766,7 +1790,11 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                 hs.append(h)
             y = _dot(h, wo_ref[:]) + bo_ref[0][None, :]
             mu = jnp.mean(y, axis=-1, keepdims=True)
-            var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+            # two-pass variance: E[(y-mu)^2] stays >= 0 where the
+            # fast form E[y^2]-mu^2 can cancel NEGATIVE and NaN the
+            # rsqrt (torch LayerNorm semantics; B1-64 epoch-30 NaN)
+            var = jnp.mean((y - mu) * (y - mu), axis=-1,
+                           keepdims=True)
             inv = jax.lax.rsqrt(var + LN_EPS)
             xhat = (y - mu) * inv
 

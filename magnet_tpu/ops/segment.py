@@ -79,7 +79,9 @@ def segment_instance_norm(
     x: (N, C).
     """
     mean = jnp.mean(x, axis=0, keepdims=True)
-    var = jnp.mean(x * x, axis=0, keepdims=True) - mean * mean
+    # two-pass variance (torch InstanceNorm semantics; the fast form
+    # can cancel negative and NaN the sqrt)
+    var = jnp.mean((x - mean) * (x - mean), axis=0, keepdims=True)
     return (x - mean) / jnp.sqrt(var + eps)
 
 

@@ -77,13 +77,20 @@ def main():
         for i, batch in enumerate(tr):
             graph = model.build_graph(batch)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            prev = params
             params, opt_state, loss, gn, pn, pmax = step(
                 params, opt_state, jb, graph)
             print(f"epoch {epoch} step {i}: loss={float(loss):.6g} "
                   f"gnorm={float(gn):.6g} pnorm={float(pn):.6g} "
                   f"pmax={float(pmax):.6g}", flush=True)
             if not np.isfinite(float(loss)):
-                print("FIRST NONFINITE LOSS — breaking for analysis")
+                print("FIRST NONFINITE LOSS — saving artifacts")
+                from magnet_tpu.train.checkpoint import save_checkpoint
+
+                save_checkpoint("runs/nan_debug/params.msgpack",
+                                {"params": prev}, {"epoch": epoch})
+                np.savez("runs/nan_debug/batch.npz",
+                         **{k: np.asarray(v) for k, v in batch.items()})
                 return
 
 
