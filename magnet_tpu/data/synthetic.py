@@ -192,6 +192,75 @@ def solve_combined_1d_irregular(
     return u[:, sel], x[sel], t
 
 
+def solve_ks_1d(
+    rng, nx_fine=256, nt_out=128, nx_out=None, t_end=32.0, length=64.0,
+    burn_in=40.0, dt=0.01,
+):
+    """Kuramoto-Sivashinsky equation (the reference's KS_train/KS_valid
+    datasets, configs/datamodule/h5_datamodule_implicit.yaml:3-8):
+
+        ∂_t u + u ∂_x u + ∂_xx u + ∂_xxxx u = 0,  periodic on [0, L)
+
+    L=64 puts the system deep in the chaotic regime.  The linear symbol
+    (k² − k⁴) is integrated exactly by a Fourier integrating factor; the
+    conservative nonlinearity −½∂_x(u²) advances with IF-RK2 (dealiased).
+    A burn-in window discards the transient so saved trajectories live on
+    the chaotic attractor.  Returns (u (nt_out, nx_out), x, t)."""
+    nx_out = nx_out or nx_fine
+    dx = length / nx_fine
+    xg = np.arange(nx_fine) * dx
+    u = _initial_condition_1d(rng, nx_fine) * 2.0
+    k = 2 * np.pi * np.fft.rfftfreq(nx_fine, d=dx)
+    dealias = np.ones_like(k)
+    dealias[k > (2 / 3) * k.max()] = 0.0
+    lin = k**2 - k**4
+    efac = np.exp(lin * dt)
+    efac_h = np.exp(lin * (dt / 2))
+
+    def nonlin(uh):
+        uu = np.fft.irfft(uh, n=nx_fine)
+        return -0.5j * k * np.fft.rfft(uu * uu) * dealias
+
+    uh = np.fft.rfft(u)
+    n_burn = int(round(burn_in / dt))
+    n_steps = int(round(t_end / dt))
+    save_every = n_steps // nt_out
+    frames = []
+    for s in range(n_burn + n_steps):
+        if s >= n_burn and (s - n_burn) % save_every == 0 \
+                and len(frames) < nt_out:
+            frames.append(np.fft.irfft(uh, n=nx_fine))
+        k1 = nonlin(uh)
+        k2 = nonlin(efac_h * (uh + 0.5 * dt * k1))
+        uh = efac * uh + dt * efac_h * k2
+    while len(frames) < nt_out:
+        frames.append(np.fft.irfft(uh, n=nx_fine))
+    u_t = np.stack(frames)
+    stride = nx_fine // nx_out
+    u_out = u_t[:, ::stride][:, :nx_out]
+    x = (np.arange(nx_out) * (length / nx_out)).astype(np.float32)
+    t = np.linspace(0, t_end, nt_out, endpoint=False).astype(np.float32)
+    return u_out.astype(np.float32), x, t
+
+
+def solve_heat_1d(
+    rng, nx=256, nt_out=256, t_end=4.0, length=16.0, nu=0.3,
+):
+    """Heat equation ∂_t u = ν ∂_xx u, periodic — the reference's
+    Heat_test.h5 zero-shot PDE-transfer target
+    (configs/datamodule/h5_datamodule_implicit.yaml:5, nt_test=256).
+    Solved exactly in Fourier space.  Returns (u (nt_out, nx), x, t)."""
+    u0 = _initial_condition_1d(rng, nx) * 2.0
+    k = 2 * np.pi * np.fft.rfftfreq(nx, d=length / nx)
+    uh0 = np.fft.rfft(u0)
+    t = np.linspace(0, t_end, nt_out, endpoint=False)
+    frames = [
+        np.fft.irfft(uh0 * np.exp(-nu * k**2 * ti), n=nx) for ti in t
+    ]
+    x = (np.arange(nx) * (length / nx)).astype(np.float32)
+    return (np.stack(frames).astype(np.float32), x, t.astype(np.float32))
+
+
 def solve_burgers_1d(
     rng, nx_fine=256, nt_out=250, nx_out=None, t_end=2.0, nu=0.01, length=16.0
 ):
@@ -286,7 +355,10 @@ def generate_1d_file(
 
     ``eq`` None keeps the fast plain-Burgers generator (unit tests);
     'E1'/'E2'/'E3' uses the combined-equation solver (the reference's
-    actual dataset family)."""
+    actual dataset family); 'KS' / 'Heat' produce the
+    Kuramoto-Sivashinsky train and heat-equation transfer-test sets of
+    the reference's 1D implicit protocol
+    (configs/datamodule/h5_datamodule_implicit.yaml)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     rng = np.random.default_rng(seed)
     with h5py.File(path, "w") as f:
@@ -298,6 +370,12 @@ def generate_1d_file(
                         rng, nx_fine=max(256, nx), nt_out=nt, nx_out=nx,
                         t_end=t_end, nu=nu,
                     )
+                elif eq == "KS":
+                    u, x, t = solve_ks_1d(
+                        rng, nx_fine=max(256, nx), nt_out=nt, nx_out=nx,
+                    )
+                elif eq == "Heat":
+                    u, x, t = solve_heat_1d(rng, nx=nx, nt_out=nt)
                 else:
                     nx_fine = nx * max(8, -(-256 // nx))
                     u, x, t = solve_combined_1d(

@@ -13,7 +13,11 @@ os.makedirs('data/B1/concentrated', exist_ok=True)
 os.makedirs('data/B2', exist_ok=True)
 # E3 headline file (combined-equation solver, reference's actual family)
 generate_1d_file('data/CE_train_E3.h5', n_train=64, n_valid=16, n_test=16, nt=250, nx=50, seed=0, eq='E3')
-generate_1d_file('data/KS_train.h5', n_train=64, n_valid=16, n_test=16, nt=128, nx=256, seed=1)
+# KS train/valid + Heat transfer test: the reference's 1D implicit protocol
+# (configs/datamodule/h5_datamodule_implicit.yaml: KS nt=128 nx=256 train,
+# Heat nt=256 test).  Real Kuramoto-Sivashinsky and heat-equation solvers.
+generate_1d_file('data/KS_train.h5', n_train=256, n_valid=32, n_test=32, nt=128, nx=256, seed=1, eq='KS')
+generate_1d_file('data/Heat_test.h5', n_train=8, n_valid=16, n_test=16, nt=256, nx=256, seed=21, eq='Heat')
 generate_2d_file('data/B1/burgers_train_B1_64.h5', n_train=32, n_valid=8, n_test=8, nt=50, res=64, seed=2)
 generate_2d_file('data/B1/burgers_test_B1_32.h5', n_train=8, n_valid=8, n_test=8, nt=50, res=32, seed=3)
 generate_2d_file('data/B1/burgers_test_B1_64.h5', n_train=8, n_valid=8, n_test=8, nt=50, res=64, seed=5)
@@ -44,6 +48,5 @@ import shutil
 shutil.copy('data/CE_train_E3.h5', 'data/CE_valid_E3.h5')
 shutil.copy('data/CE_train_E3.h5', 'data/CE_test_E3.h5')
 shutil.copy('data/KS_train.h5', 'data/KS_valid.h5')
-shutil.copy('data/KS_train.h5', 'data/Heat_test.h5')
 print('synthetic data suite written to data/')
 PY

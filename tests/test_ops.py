@@ -1007,3 +1007,135 @@ def test_mpnn_layer_v2r_path():
             np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4),
         g1, g2,
     )
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm / InstanceNorm near-constant-row NaN regression (commit e435e7a:
+# the fast E[y^2]-mu^2 variance cancelled NEGATIVE at epoch 30 of the B1-64
+# magnet_cnn_2d campaign and NaN'd the rsqrt; torch computes the two-pass
+# E[(y-mu)^2] >= 0 and survives).  These tests pin every LN site — the jnp
+# graphnet path, flax-core LayerNorm, segment InstanceNorm, and each fused
+# Pallas kernel variant (interpret mode), forward AND recompute-backward.
+# ---------------------------------------------------------------------------
+def _ln_killer(n, scale=1e4, jitter=1e-2, want=-1e-4):
+    """A near-constant f32 vector whose FAST-form variance E[v^2]-mu^2 is
+    negative below ``want`` (rsqrt would NaN) while the two-pass variance is
+    a tiny positive number.  Searched deterministically so the premise is
+    verified on the platform actually running the test."""
+    for s in range(500):
+        v = (scale + np.random.default_rng(s).normal(size=n) * jitter
+             ).astype(np.float32)
+        m = jnp.mean(jnp.asarray(v))
+        fast = float(jnp.mean(jnp.asarray(v) ** 2) - m * m)
+        two = float(jnp.mean((jnp.asarray(v) - m) ** 2))
+        if fast < want and two >= 0.0:
+            return v
+    raise AssertionError("no fast-variance-negative vector found")
+
+
+def test_instance_norm_near_constant_rows_finite():
+    from magnet_tpu.ops.segment import segment_instance_norm
+
+    v = _ln_killer(64)
+    x = jnp.stack([jnp.asarray(v), jnp.asarray(v) * 0.5 + 7.0], axis=1)
+    out = segment_instance_norm(x)
+    assert bool(jnp.all(jnp.isfinite(out))), "InstanceNorm NaN'd"
+
+
+def test_core_layernorm_near_constant_rows_finite():
+    from magnet_tpu.nn.core import LayerNorm
+
+    v = _ln_killer(64)
+    ln = LayerNorm()
+    p = ln.init(jax.random.PRNGKey(0), jnp.asarray(v)[None, :])
+    out = ln.apply(p, jnp.tile(jnp.asarray(v)[None, :], (4, 1)))
+    assert bool(jnp.all(jnp.isfinite(out))), "core LayerNorm NaN'd"
+
+
+def test_fused_kernels_layernorm_near_constant_rows_finite(monkeypatch):
+    """wo=0 / bo=killer makes every edge-MLP output row exactly the killer
+    vector, so the kernels' in-VMEM LayerNorm sees a row whose fast-form
+    variance is negative.  Forward outputs and all backward cotangents must
+    stay finite in every variant (ref jnp, fused1, fused2r)."""
+    from magnet_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(7)
+    v = _ln_killer(64)
+
+    # --- fused1 (fused_edge_tail_agg) fwd + bwd, interpret mode
+    a = _fused_rand_args(rng, T=2, E=256, H=64, C=64, L1=1)
+    a["wo"] = jnp.zeros_like(a["wo"])
+    a["bo"] = jnp.asarray(v)
+    order = ("h0", "pxi", "wr", "br", "wo", "bo", "ls", "lb")
+    args = [a[k] for k in order]
+    ref = pk._fused_ref_impl(*args, a["recv"], a["mask"])
+    assert bool(jnp.all(jnp.isfinite(ref))), "jnp reference LN NaN'd"
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    out = pk._fused_fwd_pallas(*args, a["recv"], a["mask"])
+    assert bool(jnp.all(jnp.isfinite(out))), "fused1 forward LN NaN'd"
+    g = jnp.asarray(rng.normal(size=(2, 128, 64)).astype(np.float32))
+    grads = pk._fused_bwd_pallas(*args, a["recv"], a["mask"], g)
+    for name, gr in zip(order, grads):
+        assert bool(jnp.all(jnp.isfinite(gr))), f"fused1 bwd d{name} NaN'd"
+
+    # --- fused2r (ragged live-chunk grid) fwd + bwd, interpret mode
+    a2 = _fused2_args(rng, T=2, nc=2, chunk=128, H=64, C=64, L1=1, K=2)
+    a2["wo"] = jnp.zeros_like(a2["wo"])
+    a2["bo"] = jnp.asarray(v)
+    ct, cc, fl = _chunk_list_args(a2)
+    args2 = (a2["pe"], a2["pxj"], a2["pxi"], a2["wr"], a2["br"], a2["wo"],
+             a2["bo"], a2["ls"], a2["lb"], a2["tids"], a2["sl"], a2["recv"],
+             a2["mask"])
+    out2 = pk._fused2r_fwd_pallas(*args2, ct, cc, fl)
+    assert bool(jnp.all(jnp.isfinite(out2))), "fused2r forward LN NaN'd"
+    g2 = jnp.asarray(rng.normal(size=(2, 128, 64)).astype(np.float32))
+    grads2 = pk._fused2r_bwd_pallas(*args2, ct, cc, fl, g2)
+    for i, gr in enumerate(grads2):
+        if gr is None:  # dwe/dbe only exist on the fold-e variant
+            continue
+        assert bool(jnp.all(jnp.isfinite(gr))), f"fused2r bwd arg{i} NaN'd"
+
+
+def test_interaction_network_layernorm_near_constant_finite(monkeypatch):
+    """Module-level pin for nn/graphnet.py's inline two-pass LayerNorm:
+    overriding w_out=0 / b_out=killer drives the edge LN with a row whose
+    fast-form variance is negative, in all three execution modes."""
+    from magnet_tpu.models.common import build_radius_graph_batch
+    from magnet_tpu.nn.graphnet import InteractionNetwork
+
+    rng = np.random.default_rng(9)
+    n, latent = 64, 32
+    v = _ln_killer(latent)
+    coords = rng.uniform(-1, 1, (1, n, 2)).astype(np.float32)
+    g = build_radius_graph_batch(coords, 0.5, loop=True)
+    gs = jax.tree.map(lambda x: x[0] if x is not None else None, g)
+    x = jnp.asarray(rng.normal(size=(n, latent)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(gs.senders.shape[0], latent))
+                    .astype(np.float32))
+    net = InteractionNetwork(node_out=latent, edge_out=latent, mlp_layers=2,
+                             mlp_hidden=latent)
+    params = jax.device_get(net.init(jax.random.PRNGKey(0), x, e, gs))
+    params["params"]["w_out"] = np.zeros_like(params["params"]["w_out"])
+    params["params"]["b_out"] = v
+
+    def run(mode):
+        if mode == "unfused":
+            monkeypatch.setenv("MAGNET_TPU_NO_FUSED", "1")
+        else:
+            monkeypatch.delenv("MAGNET_TPU_NO_FUSED", raising=False)
+        if mode == "fused1":
+            monkeypatch.setenv("MAGNET_TPU_NO_FUSED2", "1")
+        else:
+            monkeypatch.delenv("MAGNET_TPU_NO_FUSED2", raising=False)
+        xo, eo = net.apply(params, x, e, gs)
+        return xo, eo
+
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    try:
+        for mode in ("unfused", "fused1", "fused2"):
+            xo, eo = run(mode)
+            assert bool(jnp.all(jnp.isfinite(xo))), f"{mode}: node out NaN"
+            assert bool(jnp.all(jnp.isfinite(eo))), f"{mode}: edge out NaN"
+    finally:
+        monkeypatch.delenv("MAGNET_TPU_NO_FUSED", raising=False)
+        monkeypatch.delenv("MAGNET_TPU_NO_FUSED2", raising=False)
