@@ -63,16 +63,11 @@ def main(argv=None):
         m = jax.device_get(metrics_fn(params, jb, graph))
         for k, v in m.items():
             agg[k] = agg.get(k, 0.0) + float(v)
-        # nRMSE on the primary rollout target
+        # nRMSE on the primary rollout target; the model wrapper owns the
+        # target contract (rollout_target), not name-keyed heuristics here
         pred = model.predict(params, jb, graph)
         pred0 = pred[0] if isinstance(pred, tuple) else pred
-        key = "hr_points" if "hr_points" in batch else "u"
-        ts = getattr(model, "time_slice", getattr(model, "time_window",
-                     getattr(model, "time_history", 0)))
-        tgt = jnp.asarray(batch[key])
-        if key == "u" and tgt.ndim == 3 and model.name.startswith("mpnn"):
-            tgt = tgt.transpose(0, 2, 1)
-        tgt = tgt[:, ts : ts + pred0.shape[1]]
+        tgt = model.rollout_target(jb, int(pred0.shape[1]))
         nrmse_vals.append(float(nrmse(pred0, tgt)))
         n += 1
     out = {f"test_{k}": v / max(n, 1) for k, v in agg.items()}

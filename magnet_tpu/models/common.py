@@ -116,6 +116,18 @@ def nrmse(pred, target, eps: float = 1e-12):
     return num / (den + eps)
 
 
+class HRPointsTarget:
+    """rollout_target for the MAgNet families: predict()'s primary output
+    is the HR-node rollout; the ground truth is ``hr_points`` shifted by
+    ``time_slice`` (the reference validation_step target slicing,
+    magnet_cnn.py:438-467, magnet_gnn.py:441-475).  The eval harness
+    consumes this instead of keying on model names."""
+
+    def rollout_target(self, batch, horizon: int):
+        ts = self.time_slice
+        return jnp.asarray(batch["hr_points"])[:, ts : ts + horizon]
+
+
 _E_TILE_CACHE: dict = {}
 _GRAPH_CACHE: dict = {}
 _GRAPH_CACHE_MAX = 8

@@ -130,6 +130,12 @@ class _FNOBase:
         u_hat, _ = self._rollout(params, batch, teacher_forcing=False)
         return u_hat
 
+    def rollout_target(self, batch, horizon: int):
+        """Ground truth aligned with predict(): u shifted by time_history
+        (reference fno_1d.py:165-175 rollout window slicing)."""
+        th = self.time_history
+        return jnp.asarray(batch["u"])[:, th : th + horizon]
+
 
 class FNO1D(_FNOBase):
     """Batch: u (B, nt, L), dx (B,), dt (B,)."""

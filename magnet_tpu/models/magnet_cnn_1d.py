@@ -24,6 +24,7 @@ from flax import linen as fnn
 
 from magnet_tpu.models.common import (
     Graph,
+    HRPointsTarget,
     LOSSES,
     batch_vmap,
     build_radius_graph_batch,
@@ -194,7 +195,7 @@ class MAgNetCNN1DCore(fnn.Module):
         return self.assemble_outputs(ret, x_t, hr_points, hr_last, t)
 
 
-class MAgNetCNN1D(PartitionedGraphMixin):
+class MAgNetCNN1D(PartitionedGraphMixin, HRPointsTarget):
     """Task wrapper: host graph building + scanned rollout + losses.
 
     Batch dict (from HDF5DatasetImplicit-equivalent, reference

@@ -16,6 +16,7 @@ from flax import linen as fnn
 
 from magnet_tpu.models.common import (
     Graph,
+    HRPointsTarget,
     LOSSES,
     batch_vmap,
     build_radius_graph_batch,
@@ -158,7 +159,7 @@ class MAgNetCNN2DCore(fnn.Module):
         return self.assemble_outputs(ret, x_t, hr_points, hr_last, t)
 
 
-class MAgNetCNN2D(PartitionedGraphMixin):
+class MAgNetCNN2D(PartitionedGraphMixin, HRPointsTarget):
     """Task wrapper.  Batch (DatasetImplicit2D): t (B, nt),
     lr_frames (B, nt, 1, W, W), hr_points (B, nt, N, 1), coords (B, N, 2),
     cells (B, N, 2)."""

@@ -23,7 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as fnn
 
-from magnet_tpu.models.common import LOSSES, batch_vmap, l1_loss, time_windows
+from magnet_tpu.models.common import (
+    HRPointsTarget, LOSSES, batch_vmap, l1_loss, time_windows,
+)
 from magnet_tpu.nn.core import MLP, Linear, LayerNorm
 from magnet_tpu.nn.edsr import EDSR
 from magnet_tpu.nn.lstm import AttnSeq2Seq
@@ -165,7 +167,7 @@ class NoInteractionCore(fnn.Module):
         return outputs                                       # (B, T_out, N, 1)
 
 
-class MAgNetCNNNoInteraction:
+class MAgNetCNNNoInteraction(HRPointsTarget):
     """Task wrapper.  Batch (DatasetImplicit1D): t, hr_frames (B,nt,1,L),
     hr_points (B,nt,N,1), coords (B,N,1), cells (B,N,1), sample_idx (B,N)."""
 

@@ -21,6 +21,7 @@ from flax import linen as fnn
 
 from magnet_tpu.models.common import (
     Graph,
+    HRPointsTarget,
     LOSSES,
     batch_vmap,
     build_radius_graph_batch,
@@ -173,7 +174,7 @@ class MAgNetGNNCore(fnn.Module):
         return self.assemble_outputs(ret, x_lr, hr_points, hr_last, t)
 
 
-class MAgNetGNN:
+class MAgNetGNN(HRPointsTarget):
     """Task wrapper.  Batch (DatasetImplicitGNN*): t (B, nt),
     lr_frames (B, nt, 1, L), hr_points (B, nt, N, 1), coords_hr (B, N, P),
     coords_lr (B, L, P)."""
@@ -388,47 +389,90 @@ class MAgNetGNN:
         return core_cls.assemble_outputs(ret, x_lr, hr_points, hr_last, t)
 
     def loss_partitioned(self, params, batch, pg, mesh, rng=None,
-                         train: bool = True):
+                         train: bool = True, unroll: bool = False):
         """Same semantics as ``loss``: train = optional TF + noise + interp
         term; val = no TF, plain LR feedback, hr+lr criterion (matching the
-        standard MAgNetGNN path, which has no val-feedback branch)."""
+        standard MAgNetGNN path, which has no val-feedback branch).
+        Scans the rollout by default (one trace of the sharded model per
+        horizon); ``unroll=True`` keeps the old per-window Python loop for
+        the scan-vs-unroll parity test — both thread the SAME key sequence
+        as the standard ``_rollout``, so noise is bit-identical."""
         ts = self.time_slice
         u, uv = batch["lr_frames"], batch["hr_points"]
         t = batch["t"]
-        nt = u.shape[1]
+        B, nt = u.shape[:2]
         n_win = (nt - ts) // ts
         used = (n_win + 1) * ts
         tf_flag = self.teacher_forcing and train
         use_noise = train and self.noise > 0 and rng is not None
         key = rng if rng is not None else jax.random.PRNGKey(0)
 
-        inp = u[:, :ts]
-        hr_last = uv[:, ts - 1]
-        hr_hat, lr_hat, pts = [], [], []
-        for i in range(n_win):
-            tw = t[:, i * ts : (i + 2) * ts]
-            if use_noise:
-                key, k1, k2 = jax.random.split(key, 3)
-                inp = inp + self.noise * jax.random.normal(k1, inp.shape)
-                hr_last = hr_last + self.noise * jax.random.normal(
-                    k2, hr_last.shape
+        if unroll:
+            inp = u[:, :ts]
+            hr_last = uv[:, ts - 1]
+            hr_hat, lr_hat, pts = [], [], []
+            for i in range(n_win):
+                tw = t[:, i * ts : (i + 2) * ts]
+                if use_noise:
+                    key, k1, k2 = jax.random.split(key, 3)
+                    inp = inp + self.noise * jax.random.normal(k1, inp.shape)
+                    hr_last = hr_last + self.noise * jax.random.normal(
+                        k2, hr_last.shape
+                    )
+                out_hr, out_lr, hr_pts = self.forward_partitioned(
+                    params, inp, batch["coords_lr"], batch["coords_hr"], tw,
+                    hr_last, pg, mesh,
                 )
-            out_hr, out_lr, hr_pts = self.forward_partitioned(
-                params, inp, batch["coords_lr"], batch["coords_hr"], tw,
-                hr_last, pg, mesh,
+                hr_hat.append(out_hr)
+                lr_hat.append(out_lr)
+                pts.append(hr_pts)
+                if tf_flag:
+                    inp = u[:, (i + 1) * ts : (i + 2) * ts]
+                    hr_last = uv[:, (i + 2) * ts - 1]
+                else:
+                    inp = out_lr.transpose(0, 1, 3, 2)
+                    hr_last = out_hr[:, -1]
+            hr_hat = jnp.concatenate(hr_hat, axis=1)
+            lr_hat = jnp.concatenate(lr_hat, axis=1)
+            pts = jnp.concatenate(pts, axis=1)
+        else:
+            u_win = u[:, :used].reshape(B, n_win + 1, ts, *u.shape[2:])
+            uv_win = uv[:, :used].reshape(B, n_win + 1, ts, *uv.shape[2:])
+            t_win = time_windows(t, n_win, ts)
+
+            def step(carry, xs):
+                inp, hr_last, k = carry
+                tf_inp, tf_uv_last, tw = xs
+                if use_noise:
+                    k, k1, k2 = jax.random.split(k, 3)
+                    inp = inp + self.noise * jax.random.normal(k1, inp.shape)
+                    hr_last = hr_last + self.noise * jax.random.normal(
+                        k2, hr_last.shape
+                    )
+                out_hr, out_lr, hr_pts = self.forward_partitioned(
+                    params, inp, batch["coords_lr"], batch["coords_hr"], tw,
+                    hr_last, pg, mesh,
+                )
+                if tf_flag:
+                    nxt = (tf_inp, tf_uv_last, k)
+                else:
+                    nxt = (out_lr.transpose(0, 1, 3, 2), out_hr[:, -1], k)
+                return nxt, (out_hr, out_lr, hr_pts)
+
+            xs = (
+                jnp.moveaxis(u_win[:, 1:], 1, 0),
+                jnp.moveaxis(uv_win[:, 1:, -1], 1, 0),
+                jnp.moveaxis(t_win, 1, 0),
             )
-            hr_hat.append(out_hr)
-            lr_hat.append(out_lr)
-            pts.append(hr_pts)
-            if tf_flag:
-                inp = u[:, (i + 1) * ts : (i + 2) * ts]
-                hr_last = uv[:, (i + 2) * ts - 1]
-            else:
-                inp = out_lr.transpose(0, 1, 3, 2)
-                hr_last = out_hr[:, -1]
-        hr_hat = jnp.concatenate(hr_hat, axis=1)
-        lr_hat = jnp.concatenate(lr_hat, axis=1)
-        pts = jnp.concatenate(pts, axis=1)
+            init = (u_win[:, 0], uv_win[:, 0, -1], key)
+            _, (hr_seq, lr_seq, pts_seq) = jax.lax.scan(step, init, xs)
+
+            def flat(x):
+                return jnp.moveaxis(x, 0, 1).reshape(
+                    B, n_win * ts, *x.shape[3:]
+                )
+
+            hr_hat, lr_hat, pts = flat(hr_seq), flat(lr_seq), flat(pts_seq)
 
         y_hat = jnp.concatenate([hr_hat, lr_hat], axis=2)
         target = jnp.concatenate(

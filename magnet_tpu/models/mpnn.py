@@ -205,6 +205,14 @@ class MPNN:
         u_hat, _ = self._rollout(params, batch, graph, teacher_forcing=False)
         return u_hat
 
+    def rollout_target(self, batch, horizon: int):
+        """Ground truth aligned with predict(): u is stored (B, N, nt)
+        (reference datamodule/dataset.py:12-51); time-major slice shifted
+        by time_window (reference mpnn.py:271-287 rollout)."""
+        tw = self.time_window
+        u = jnp.asarray(batch["u"]).transpose(0, 2, 1)
+        return u[:, tw : tw + horizon]
+
     # ---------- graph-parallel execution path -------------------------
     def build_graph_partitioned(self, batch, n_shards: int, halo=False):
         """Edge-partition the (time-invariant) radius graph; the MPNN step
@@ -260,9 +268,12 @@ class MPNN:
         return apply("decode", h_out, inp, dt)
 
     def loss_partitioned(self, params, batch, pg, mesh, rng=None,
-                         train: bool = True):
+                         train: bool = True, unroll: bool = False):
         """Same semantics as ``loss`` (train and val are both plain
-        rollouts; MPNN has no interp/val-feedback branches)."""
+        rollouts; MPNN has no interp/val-feedback branches).  Scans the
+        rollout by default — the per-window time variable (window-dependent
+        in 2D, mpnn_2d.py:265,281) is precomputed and fed as a scan input;
+        ``unroll=True`` keeps the Python loop for the parity test."""
         u, x, t, L, tmax, dt = self._prep(batch)
         B, nt, N = u.shape
         tw = self.time_window
@@ -270,21 +281,43 @@ class MPNN:
         pos = x / L
         tf_flag = self.teacher_forcing if train else False
 
-        inp = u[:, :tw].transpose(0, 2, 1)
-        outs = []
-        for i in range(n_win):
-            variables = self._pp_variables(t, i, nt, N)
-            y = self._forward_partitioned(
-                params, inp, pos, variables, dt, pg, mesh
-            )
-            outs.append(y)
-            inp = (
-                u[:, (i + 1) * tw : (i + 2) * tw].transpose(0, 2, 1)
-                if tf_flag else y
-            )
-        u_hat = jnp.stack(outs, axis=1).transpose(0, 1, 3, 2).reshape(
-            B, n_win * tw, N
-        )
+        if unroll:
+            inp = u[:, :tw].transpose(0, 2, 1)
+            outs = []
+            for i in range(n_win):
+                variables = self._pp_variables(t, i, nt, N)
+                y = self._forward_partitioned(
+                    params, inp, pos, variables, dt, pg, mesh
+                )
+                outs.append(y)
+                inp = (
+                    u[:, (i + 1) * tw : (i + 2) * tw].transpose(0, 2, 1)
+                    if tf_flag else y
+                )
+            u_hat = jnp.stack(outs, axis=1)
+        else:
+            variables = jnp.stack(
+                [self._pp_variables(t, i, nt, N) for i in range(n_win)]
+            )                                              # (n, B, N, 1)
+            u_tf = jnp.stack(
+                [
+                    u[:, (i + 1) * tw : (i + 2) * tw].transpose(0, 2, 1)
+                    for i in range(n_win)
+                ]
+            )                                              # (n, B, N, tw)
+
+            def step(inp, xs):
+                var_i, tf_inp = xs
+                y = self._forward_partitioned(
+                    params, inp, pos, var_i, dt, pg, mesh
+                )
+                return (tf_inp if tf_flag else y), y
+
+            _, ys = jax.lax.scan(
+                step, u[:, :tw].transpose(0, 2, 1), (variables, u_tf)
+            )                                              # (n, B, N, tw)
+            u_hat = jnp.moveaxis(ys, 0, 1)
+        u_hat = u_hat.transpose(0, 1, 3, 2).reshape(B, n_win * tw, N)
         target = u[:, tw : tw + n_win * tw]
         loss = self.criterion(u_hat, target)
         return loss, {"loss": loss, "mae_loss": l1_loss(u_hat, target)}

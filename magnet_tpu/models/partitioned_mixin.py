@@ -219,8 +219,87 @@ class PartitionedGraphMixin:
         ret = apply("graph_decode", nf_out)
         return core_cls.assemble_outputs(ret, x_t, hr_points, hr_last, t)
 
+    def _rollout_partitioned(self, params, batch, pg, mesh, tf_flag,
+                             train, n_win, unroll: bool = False):
+        """Windowed rollout through forward_partitioned.  Scans by default
+        (one trace/compile of the sharded model regardless of horizon —
+        at E1 scale the unrolled form traced the full model 14×); the
+        unrolled path is kept for the scan-vs-unroll parity test."""
+        ts = self.time_slice
+        u, uv, t = batch["lr_frames"], batch["hr_points"], batch["t"]
+        qk = self._pp_query_key()
+
+        if unroll:
+            inp = u[:, :ts]
+            hr_last = uv[:, ts - 1]
+            hr_hat, lr_hat, pts = [], [], []
+            for i in range(n_win):
+                tw = t[:, i * ts : (i + 2) * ts]
+                out_hr, out_lr, hr_pts = self.forward_partitioned(
+                    params, inp, batch[qk], batch["cells"], tw, hr_last,
+                    pg, mesh,
+                )
+                hr_hat.append(out_hr)
+                lr_hat.append(out_lr)
+                pts.append(hr_pts)
+                if tf_flag:
+                    inp = u[:, (i + 1) * ts : (i + 2) * ts]
+                    hr_last = uv[:, (i + 2) * ts - 1]
+                elif not train:
+                    inp = self._pp_val_feedback(batch, out_hr)
+                    hr_last = out_hr[:, -1]
+                else:
+                    inp = self._pp_feedback(out_lr)
+                    hr_last = out_hr[:, -1]
+            return (
+                jnp.concatenate(hr_hat, axis=1),
+                jnp.concatenate(lr_hat, axis=1),
+                jnp.concatenate(pts, axis=1),
+            )
+
+        from magnet_tpu.models.common import time_windows
+
+        B = u.shape[0]
+        u_win = u[:, : (n_win + 1) * ts].reshape(
+            B, n_win + 1, ts, *u.shape[2:]
+        )
+        uv_win = uv[:, : (n_win + 1) * ts].reshape(
+            B, n_win + 1, ts, *uv.shape[2:]
+        )
+        t_win = time_windows(t, n_win, ts)                 # (B, n, 2ts)
+
+        def step(carry, xs):
+            inp, hr_last = carry
+            tf_inp, tf_uv_last, tw = xs
+            out_hr, out_lr, hr_pts = self.forward_partitioned(
+                params, inp, batch[qk], batch["cells"], tw, hr_last,
+                pg, mesh,
+            )
+            if tf_flag:
+                nxt = (tf_inp, tf_uv_last)
+            elif not train:
+                nxt = (self._pp_val_feedback(batch, out_hr), out_hr[:, -1])
+            else:
+                nxt = (self._pp_feedback(out_lr), out_hr[:, -1])
+            return nxt, (out_hr, out_lr, hr_pts)
+
+        xs = (
+            jnp.moveaxis(u_win[:, 1:], 1, 0),
+            jnp.moveaxis(uv_win[:, 1:, -1], 1, 0),
+            jnp.moveaxis(t_win, 1, 0),
+        )
+        init = (u_win[:, 0], uv_win[:, 0, -1])
+        _, (hr_seq, lr_seq, pts_seq) = jax.lax.scan(step, init, xs)
+
+        def flat(x):
+            return jnp.moveaxis(x, 0, 1).reshape(
+                B, n_win * ts, *x.shape[3:]
+            )
+
+        return flat(hr_seq), flat(lr_seq), flat(pts_seq)
+
     def loss_partitioned(self, params, batch, pg, mesh, rng=None,
-                         train: bool = True):
+                         train: bool = True, unroll: bool = False):
         """Matches ``loss``'s semantics exactly: train = TF/plain-LR
         feedback + interp loss; val = no TF, HR-interpolated feedback
         (reference magnet_cnn.py:458-459), HR-only criterion, NO interp
@@ -228,36 +307,14 @@ class PartitionedGraphMixin:
         val_mae_loss (parity tested in tests/test_parallel.py)."""
         ts = self.time_slice
         u, uv = batch["lr_frames"], batch["hr_points"]
-        t = batch["t"]
         nt = u.shape[1]
         n_win = (nt - ts) // ts
         used = (n_win + 1) * ts
-        qk = self._pp_query_key()
         tf_flag = self.teacher_forcing and train
 
-        inp = u[:, :ts]
-        hr_last = uv[:, ts - 1]
-        hr_hat, lr_hat, pts = [], [], []
-        for i in range(n_win):
-            tw = t[:, i * ts : (i + 2) * ts]
-            out_hr, out_lr, hr_pts = self.forward_partitioned(
-                params, inp, batch[qk], batch["cells"], tw, hr_last, pg, mesh
-            )
-            hr_hat.append(out_hr)
-            lr_hat.append(out_lr)
-            pts.append(hr_pts)
-            if tf_flag:
-                inp = u[:, (i + 1) * ts : (i + 2) * ts]
-                hr_last = uv[:, (i + 2) * ts - 1]
-            elif not train:
-                inp = self._pp_val_feedback(batch, out_hr)
-                hr_last = out_hr[:, -1]
-            else:
-                inp = self._pp_feedback(out_lr)
-                hr_last = out_hr[:, -1]
-        hr_hat = jnp.concatenate(hr_hat, axis=1)
-        lr_hat = jnp.concatenate(lr_hat, axis=1)
-        pts = jnp.concatenate(pts, axis=1)
+        hr_hat, lr_hat, pts = self._rollout_partitioned(
+            params, batch, pg, mesh, tf_flag, train, n_win, unroll=unroll
+        )
 
         if not train:
             target = uv[:, ts:used]

@@ -88,6 +88,13 @@ def _check(model, batch, graph, val_batch=None, val_graph=None):
         val_batch = {k: jnp.asarray(v) for k, v in val_batch.items()}
     vloss, _ = model.loss(params, val_batch, val_graph, train=False)
     assert np.isfinite(float(vloss)), f"{model.name} val loss not finite"
+    # eval contract: rollout_target must align with predict's primary output
+    pred = model.predict(params, val_batch, val_graph)
+    pred0 = pred[0] if isinstance(pred, tuple) else pred
+    tgt = model.rollout_target(val_batch, int(pred0.shape[1]))
+    assert tgt.shape == pred0.shape, (
+        f"{model.name} rollout_target {tgt.shape} != predict {pred0.shape}"
+    )
     return params
 
 

@@ -617,3 +617,132 @@ def test_flagship_halo_overlap_matches_standard():
     ref_n = float(sum(jnp.sum(x**2) for x in jax.tree.leaves(gref)) ** 0.5)
     par_n = float(sum(jnp.sum(x**2) for x in jax.tree.leaves(gpar)) ** 0.5)
     np.testing.assert_allclose(par_n, ref_n, rtol=5e-3)
+
+
+def test_partitioned_scan_matches_unroll():
+    """loss_partitioned scans the rollout (round 3); the retired per-window
+    Python unroll is kept behind unroll=True as the oracle.  Exercise the
+    no-TF train feedback (carry actually flows between windows) over 2
+    windows for the flagship, plus magnet_gnn WITH noise (the scan threads
+    the same PRNG key sequence, so noise must be bit-comparable)."""
+    from magnet_tpu.models.factory import create_model
+
+    rng = np.random.default_rng(23)
+    B, nt, L, N = 2, 48, 32, 16
+    batch = {
+        "t": jnp.asarray(np.linspace(0, 1, nt, dtype=np.float32)[None].repeat(B, 0)),
+        "lr_frames": jnp.asarray(rng.normal(size=(B, nt, 1, L)).astype(np.float32)),
+        "hr_points": jnp.asarray(rng.normal(size=(B, nt, N, 1)).astype(np.float32)),
+        "coords": jnp.asarray(
+            np.sort(rng.uniform(-1, 1, (B, N, 1)).astype(np.float32), axis=1)
+        ),
+        "cells": jnp.asarray(np.full((B, N, 1), 2.0 / (2 * L), np.float32)),
+    }
+    m = create_model(
+        "magnet_cnn",
+        dict(time_slice=16, latent_dim=8, num_message_passing_steps=2,
+             mlp_layers=2, mlp_hidden=16, n_chan=16, res_layers=1,
+             radius=0.3, teacher_forcing=False, loss="l1"),
+    )
+    g = m.build_graph(batch)
+    params = m.init(jax.random.PRNGKey(0), batch, g)
+    mesh = make_mesh(dp=2, graph=4)
+    pg = m.build_graph_partitioned(batch, n_shards=4)
+    bs = NamedSharding(mesh, P("dp"))
+    batch_sh = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    eg = NamedSharding(mesh, P("dp", "graph"))
+    for k in ("senders", "recv_loc", "mask", "table"):
+        pg[k] = jax.device_put(pg[k], eg)
+    for train in (True, False):
+        l_scan, _ = jax.jit(
+            lambda p, b, tr=train: m.loss_partitioned(p, b, pg, mesh, train=tr)
+        )(params, batch_sh)
+        l_unr, _ = jax.jit(
+            lambda p, b, tr=train: m.loss_partitioned(
+                p, b, pg, mesh, train=tr, unroll=True
+            )
+        )(params, batch_sh)
+        np.testing.assert_allclose(float(l_scan), float(l_unr), rtol=1e-5)
+
+
+def test_partitioned_scan_matches_unroll_gnn_noise():
+    from magnet_tpu.models.factory import create_model
+
+    rng = np.random.default_rng(29)
+    B, nt, L, N = 2, 24, 16, 12
+    batch = {
+        "t": jnp.asarray(np.linspace(0, 1, nt, dtype=np.float32)[None].repeat(B, 0)),
+        "lr_frames": jnp.asarray(rng.normal(size=(B, nt, 1, L)).astype(np.float32)),
+        "hr_points": jnp.asarray(rng.normal(size=(B, nt, N, 1)).astype(np.float32)),
+        "coords_lr": jnp.asarray(
+            np.sort(rng.uniform(-1, 1, (B, L, 1)).astype(np.float32), axis=1)
+        ),
+        "coords_hr": jnp.asarray(
+            np.sort(rng.uniform(-1, 1, (B, N, 1)).astype(np.float32), axis=1)
+        ),
+    }
+    m = create_model(
+        "magnet_gnn",
+        dict(time_slice=8, latent_dim=8, num_message_passing_steps=2,
+             mlp_layers=2, mlp_hidden=16, radius=0.4, codec_neighbors=2,
+             noise=0.01, interpolation="area", teacher_forcing=False,
+             loss="l1"),
+    )
+    g = m.build_graph(batch)
+    params = m.init(jax.random.PRNGKey(0), batch, g)
+    mesh = make_mesh(dp=2, graph=4)
+    pg = _place_gnn_pg(m.build_graph_partitioned(batch, n_shards=4), mesh)
+    bs = NamedSharding(mesh, P("dp"))
+    batch_sh = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    key = jax.random.PRNGKey(7)
+    l_scan, _ = jax.jit(
+        lambda p, b: m.loss_partitioned(p, b, pg, mesh, rng=key, train=True)
+    )(params, batch_sh)
+    l_unr, _ = jax.jit(
+        lambda p, b: m.loss_partitioned(
+            p, b, pg, mesh, rng=key, train=True, unroll=True
+        )
+    )(params, batch_sh)
+    np.testing.assert_allclose(float(l_scan), float(l_unr), rtol=1e-5)
+
+
+def test_mpnn2d_partitioned_scan_matches_unroll():
+    """mpnn_2d's window-dependent time variable (mpnn_2d.py:265,281) is
+    precomputed into the scan inputs — parity with the unrolled oracle."""
+    from magnet_tpu.models.factory import create_model
+
+    rng = np.random.default_rng(31)
+    W, tw = 5, 10
+    B, N, nt = 2, W * W, 3 * tw
+    xs = np.linspace(0, 1, W, dtype=np.float32)
+    gx, gy = np.meshgrid(xs, xs, indexing="xy")
+    coords = np.stack([gx.ravel(), gy.ravel()], -1)
+    batch = {
+        "u": jnp.asarray(rng.normal(size=(B, N, nt)).astype(np.float32)),
+        "x": jnp.asarray(np.broadcast_to(coords[None], (B, N, 2)).copy()),
+        "t": jnp.asarray(np.linspace(0.1, 2, nt, dtype=np.float32)[None].repeat(B, 0)),
+    }
+    m = create_model(
+        "mpnn_2d",
+        dict(hidden_features=16, hidden_layer=2, time_window=tw, neighbors=1,
+             teacher_forcing=False, loss="l1"),
+    )
+    g = m.build_graph(batch)
+    params = m.init(jax.random.PRNGKey(0), batch, g)
+    mesh = make_mesh(dp=2, graph=4)
+    pg = m.build_graph_partitioned(batch, n_shards=4)
+    bs = NamedSharding(mesh, P("dp"))
+    batch_sh = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    eg = NamedSharding(mesh, P("dp", "graph"))
+    for k in ("senders", "recv_loc", "mask", "table"):
+        pg[k] = jax.device_put(pg[k], eg)
+    for train in (True, False):
+        l_scan, _ = jax.jit(
+            lambda p, b, tr=train: m.loss_partitioned(p, b, pg, mesh, train=tr)
+        )(params, batch_sh)
+        l_unr, _ = jax.jit(
+            lambda p, b, tr=train: m.loss_partitioned(
+                p, b, pg, mesh, train=tr, unroll=True
+            )
+        )(params, batch_sh)
+        np.testing.assert_allclose(float(l_scan), float(l_unr), rtol=1e-5)
