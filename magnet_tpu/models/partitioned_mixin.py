@@ -87,8 +87,11 @@ def run_partitioned_processor(nf, ef, pg, mesh, stacked_params, num_steps,
         def iapply_o(params_i, *a):
             return interaction_step_halo_overlap(inet, params_i, *a)
 
+        import os
+
         runner = make_partitioned_processor_halo_overlap(
             iapply_o, num_steps, mesh, batched_halo=True,
+            ring=os.environ.get("MAGNET_TPU_HALO_RING", "0") == "1",
         )
         nf_out, _ = runner(
             step_params, nf_pad, ef_int, ef_bnd,

@@ -471,13 +471,45 @@ def interaction_step_halo_overlap(module, params, x_local, halo_rows,
     return x_local + upd, e_int + e_int, e_bnd + e_bnd
 
 
+def _halo_exchange_ring(send):
+    """Ring decomposition of the halo all_to_all: G-1 independent
+    single-block rotations (``ppermute`` with the offset-k cyclic
+    permutation).  Bytes moved match the all_to_all exactly; the win is
+    scheduling freedom — each rotation is an independent collective XLA
+    can interleave with interior compute if the monolithic all_to_all
+    serializes (ROADMAP item 5 fallback).
+
+    send: (b, G, H_pad, C) where send[:, d] is this shard's payload
+    destined for shard d.  Returns recv with recv[:, s] = what shard s
+    sent to this shard (all_to_all(split_axis=1, concat_axis=1) layout).
+    """
+    g = send.shape[1]
+    i = jax.lax.axis_index("graph")
+    blk = jax.lax.dynamic_slice_in_dim(send, i, 1, axis=1)  # self block
+    recv = jnp.zeros_like(send)
+    recv = jax.lax.dynamic_update_slice_in_dim(recv, blk, i, axis=1)
+    for k in range(1, g):
+        perm = [(s, (s + k) % g) for s in range(g)]
+        out_blk = jax.lax.dynamic_slice_in_dim(
+            send, (i + k) % g, 1, axis=1
+        )
+        in_blk = jax.lax.ppermute(out_blk, "graph", perm)
+        recv = jax.lax.dynamic_update_slice_in_dim(
+            recv, in_blk, (i - k) % g, axis=1
+        )
+    return recv
+
+
 def make_partitioned_processor_halo_overlap(
     interaction_apply, num_steps: int, mesh: Mesh,
-    batched_halo: bool = False,
+    batched_halo: bool = False, ring: bool = False,
 ):
     """Halo processor with the interior/boundary split: the all_to_all is
     issued first each step and only the boundary message chunk consumes its
     result, letting XLA overlap the collective with interior edge MLPs.
+    ``ring=True`` (or env MAGNET_TPU_HALO_RING=1 via the model mixin)
+    swaps the monolithic all_to_all for the ppermute-ring decomposition
+    (:func:`_halo_exchange_ring`).
 
     interaction_apply: fn(params_i, x_local, halo_rows, e_int, e_bnd,
     remap_int, recv_int, mask_int, t_int, remap_bnd, recv_bnd, mask_bnd,
@@ -517,9 +549,13 @@ def make_partitioned_processor_halo_overlap(
                 send = jax.vmap(
                     lambda xx, hh: jnp.take(xx, hh.reshape(-1), axis=0)
                 )(x, my_halo).reshape(b, g, h_pad, x.shape[-1])
-                recv = jax.lax.all_to_all(
-                    send, "graph", split_axis=1, concat_axis=1, tiled=False
-                )
+                if ring:
+                    recv = _halo_exchange_ring(send)
+                else:
+                    recv = jax.lax.all_to_all(
+                        send, "graph", split_axis=1, concat_axis=1,
+                        tiled=False,
+                    )
                 halo_rows = recv.reshape(b, -1, x.shape[-1])
                 x, e_int, e_bnd = jax.vmap(
                     partial(interaction_apply, params_list[step])

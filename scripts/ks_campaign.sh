@@ -42,12 +42,10 @@ ev() {  # name model datamodule test_path nt_test extra...
   timeout 3600 python -u eval.py seed=42 ckpt_path="$ck" model="$model" \
     datamodule="$dm" $KS_PATHS $KS_DIMS \
     datamodule.test_path="$tp" datamodule.nt_test="$ntt" "$@" 2>/dev/null \
-    | grep -o '{.*}' | tail -1 | python -c '
-import json, sys
-try:
-    print(f"{json.loads(sys.stdin.read())[\"test_nrmse\"]:.4f}")
-except Exception:
-    print("err")'
+    | grep -o '{.*}' | tail -1 \
+    | python -c 'import json,sys
+try: print("%.4f" % json.loads(sys.stdin.read())["test_nrmse"])
+except Exception: print("err")'
 }
 
 row() {

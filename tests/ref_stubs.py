@@ -165,6 +165,13 @@ def _build_pyg(torch):
             adj &= batch.view(-1, 1) == batch.view(1, -1)
         if not loop:
             adj.fill_diagonal_(False)
+        deg = adj.sum(1)
+        if int(deg.max()) <= max_num_neighbors:
+            # cap never binds -> vectorized (row-major nonzero groups by
+            # target, same as the loop; edge order within a target is
+            # irrelevant to mean aggregation)
+            dst, src = adj.nonzero(as_tuple=True)
+            return torch.stack([src, dst])
         srcs, dsts = [], []
         for i in range(n):
             js = adj[i].nonzero(as_tuple=True)[0][:max_num_neighbors]

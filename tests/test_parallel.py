@@ -746,3 +746,53 @@ def test_mpnn2d_partitioned_scan_matches_unroll():
             )
         )(params, batch_sh)
         np.testing.assert_allclose(float(l_scan), float(l_unr), rtol=1e-5)
+
+
+def test_halo_ring_matches_all_to_all(monkeypatch):
+    """The ppermute-ring halo exchange (MAGNET_TPU_HALO_RING=1,
+    graph_partition._halo_exchange_ring) must equal the monolithic
+    all_to_all overlap path bit-for-bit — it moves the same blocks, as G-1
+    independent offset-k rotations XLA can interleave with interior
+    compute if the all_to_all serializes (docs/halo_overlap_hlo.md)."""
+    from magnet_tpu.models.factory import create_model
+
+    rng = np.random.default_rng(41)
+    B, nt, L, N = 2, 48, 32, 16
+    batch = {
+        "t": jnp.asarray(np.linspace(0, 1, nt, dtype=np.float32)[None].repeat(B, 0)),
+        "lr_frames": jnp.asarray(rng.normal(size=(B, nt, 1, L)).astype(np.float32)),
+        "hr_points": jnp.asarray(rng.normal(size=(B, nt, N, 1)).astype(np.float32)),
+        "coords": jnp.asarray(
+            np.sort(rng.uniform(-1, 1, (B, N, 1)).astype(np.float32), axis=1)
+        ),
+        "cells": jnp.asarray(np.full((B, N, 1), 2.0 / (2 * L), np.float32)),
+    }
+    m = create_model(
+        "magnet_cnn",
+        dict(time_slice=16, latent_dim=8, num_message_passing_steps=2,
+             mlp_layers=2, mlp_hidden=16, n_chan=16, res_layers=1,
+             radius=0.3, teacher_forcing=True, loss="l1"),
+    )
+    g = m.build_graph(batch)
+    params = m.init(jax.random.PRNGKey(0), batch, g)
+    mesh = make_mesh(dp=2, graph=4)
+    pg = m.build_graph_partitioned(batch, n_shards=4, halo="overlap")
+    bs = NamedSharding(mesh, P("dp"))
+    batch_sh = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    eg = NamedSharding(mesh, P("dp", "graph"))
+    for k in ("remap_int", "recv_int", "mask_int", "t_int",
+              "remap_bnd", "recv_bnd", "mask_bnd", "t_bnd",
+              "degree", "halo_idx"):
+        pg[k] = jax.device_put(pg[k], eg)
+    for k in ("senders_flat_int", "receivers_flat_int",
+              "senders_flat_bnd", "receivers_flat_bnd"):
+        pg[k] = jax.device_put(pg[k], bs)
+
+    loss_a2a, _ = jax.jit(
+        lambda p, b: m.loss_partitioned(p, b, pg, mesh, train=True)
+    )(params, batch_sh)
+    monkeypatch.setenv("MAGNET_TPU_HALO_RING", "1")
+    loss_ring, _ = jax.jit(
+        lambda p, b: m.loss_partitioned(p, b, pg, mesh, train=True)
+    )(params, batch_sh)
+    np.testing.assert_allclose(float(loss_ring), float(loss_a2a), rtol=1e-6)
