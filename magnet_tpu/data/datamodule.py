@@ -72,7 +72,8 @@ def build_datasets(cfg: dict[str, Any]):
         mk = splits(
             lambda p, m, nt, **kw: DatasetImplicit1D(
                 p, m, nt=nt, sampling=cfg.get("sampling", "uniform"),
-                samples=cfg.get("samples", 32), **kw,
+                samples=cfg.get("samples", 32),
+                eval_support=cfg.get("eval_support", "lr"), **kw,
             ),
             nx={s: _res_key(cfg, s) for s in ("train", "val", "test")},
         )
@@ -80,7 +81,8 @@ def build_datasets(cfg: dict[str, Any]):
         mk = splits(
             lambda p, m, nt, **kw: DatasetImplicitGNN1D(
                 p, m, nt=nt, sampling=cfg.get("sampling", "uniform"),
-                samples=cfg.get("samples", 32), **kw,
+                samples=cfg.get("samples", 32),
+                eval_support=cfg.get("eval_support", "lr"), **kw,
             ),
             nx={s: _res_key(cfg, s) for s in ("train", "val", "test")},
         )
@@ -100,7 +102,8 @@ def build_datasets(cfg: dict[str, Any]):
     elif kind == "h5_implicit_2d":
         mk = splits(
             lambda p, m, nt, **kw: DatasetImplicit2D(
-                p, m, nt=nt, samples=cfg.get("samples", 32), **kw
+                p, m, nt=nt, samples=cfg.get("samples", 32),
+                eval_support=cfg.get("eval_support", "lr"), **kw
             ),
             res={s: _res_key(cfg, s) for s in ("train", "val", "test")},
         )
@@ -109,6 +112,7 @@ def build_datasets(cfg: dict[str, Any]):
             lambda p, m, nt, res, regular: DatasetImplicitGNN2D(
                 p, m, nt=nt, res=res, regular=regular,
                 samples=cfg.get("samples", 32),
+                eval_support=cfg.get("eval_support", "lr"),
                 n_nodes=cfg.get("n_nodes_train"),
             ),
             res={s: _res_key(cfg, s) for s in ("train", "val", "test")},

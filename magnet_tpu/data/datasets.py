@@ -101,19 +101,29 @@ class DatasetGraph1D(_H5Base):
 
 
 class DatasetImplicit1D(_H5Base):
-    """MAgNet[CNN] samples (reference dataset.py:126-200)."""
+    """MAgNet[CNN] samples (reference dataset.py:126-200).
+
+    ``eval_support``: at eval time the reference hands the model a
+    DOWN-sampled support (L//2 linear resize) and queries the full grid —
+    i.e. the MAgNet rows of a cross-model table solve super-resolution
+    while MPNN/FNO see the full-resolution field (not apples-to-apples,
+    BASELINE.md E1 notes).  'full' makes support = query = the test mesh
+    (the paper's "any mesh at test time" forecasting setting); 'lr' keeps
+    the reference behavior.  Train mode is unaffected."""
 
     def __init__(self, path, mode, nt, nx, sampling="uniform", samples=256,
-                 load_all=False):
+                 eval_support="lr", load_all=False):
         super().__init__(path, mode, f"pde_{nt}-{nx}", load_all)
         self.samples = samples
         self.sampling = sampling
+        self.eval_support = eval_support
 
     def __getitem__(self, idx):
         t = np.asarray(self.data["t"][idx], np.float32)
         u_hr = np.asarray(self.data[self.key][idx], np.float32)[:, None, :]  # (T,1,L)
         T, _, L = u_hr.shape
-        u_lr = _np_linear_resize_1d(u_hr, L // 2)
+        full = self.mode != "train" and self.eval_support == "full"
+        u_lr = u_hr if full else _np_linear_resize_1d(u_hr, L // 2)
 
         full_coord = make_coord_np([L])                      # (L, 1)
         if self.mode == "train":
@@ -150,13 +160,20 @@ class DatasetImplicit1D(_H5Base):
 
 
 class DatasetImplicitGNN1D(_H5Base):
-    """MAgNet[GNN] samples (reference dataset.py:53-124)."""
+    """MAgNet[GNN] samples (reference dataset.py:53-124).
+
+    ``eval_support``: 'lr' = reference eval behavior (stride-2 support,
+    odd-complement queries = super-resolution); 'full' = support and
+    queries are both the whole test mesh (plain forecasting — the INR
+    'area' blend degenerates cleanly to the coincident node's latent,
+    nn/inr.py:203-206).  Train mode is unaffected."""
 
     def __init__(self, path, mode, nt, nx, sampling="uniform", samples=256,
-                 load_all=False):
+                 eval_support="lr", load_all=False):
         super().__init__(path, mode, f"pde_{nt}-{nx}", load_all)
         self.samples = samples
         self.sampling = sampling
+        self.eval_support = eval_support
 
     def __getitem__(self, idx):
         x = np.asarray(self.data["x"][idx], np.float32)
@@ -164,8 +181,9 @@ class DatasetImplicitGNN1D(_H5Base):
         t = np.asarray(self.data["t"][idx], np.float32)
         u_hr = np.asarray(self.data[self.key][idx], np.float32)[:, None, :]  # (T,1,L)
         T, _, L = u_hr.shape
-        u_lr = u_hr[:, :, ::2]
-        lr_coord = x[::2][:, None]
+        full = self.mode != "train" and self.eval_support == "full"
+        u_lr = u_hr if full else u_hr[:, :, ::2]
+        lr_coord = (x if full else x[::2])[:, None]
 
         indices_left = np.setdiff1d(np.arange(L), np.arange(L)[::2])
         if self.mode == "train":
@@ -173,7 +191,7 @@ class DatasetImplicitGNN1D(_H5Base):
                 self.rng.choice(indices_left, self.samples, replace=False)
             )
         else:
-            sample_lst = indices_left
+            sample_lst = np.arange(L) if full else indices_left
         hr_coord = x[sample_lst][:, None]
         hr_points = u_hr[:, 0, sample_lst][:, :, None]
 
@@ -232,15 +250,18 @@ class DatasetGraph2D(_H5Base):
 class DatasetImplicit2D(_H5Base):
     """MAgNet[CNN] 2D samples (reference dataset_2d.py:142-210)."""
 
-    def __init__(self, path, mode, nt, res, samples=256, load_all=False):
+    def __init__(self, path, mode, nt, res, samples=256, eval_support="lr",
+                 load_all=False):
         super().__init__(path, mode, f"pde_{nt}-{res}", load_all)
         self.samples = samples
+        self.eval_support = eval_support
 
     def __getitem__(self, idx):
         t = np.asarray(self.data["t"][idx], np.float32)
         u_hr = np.asarray(self.data[self.key][idx], np.float32)[:, None]  # (T,1,W,W)
         T, _, W, _ = u_hr.shape
-        u_lr = _np_bilinear_resize_2d(u_hr, (W // 2, W // 2))
+        full = self.mode != "train" and self.eval_support == "full"
+        u_lr = u_hr if full else _np_bilinear_resize_2d(u_hr, (W // 2, W // 2))
 
         full_coord = make_coord_np([W, W])                    # (W*W, 2)
         if self.mode == "train":
@@ -268,11 +289,12 @@ class DatasetImplicitGNN2D(_H5Base):
     """MAgNet[GNN] 2D samples (reference dataset_2d.py:61-140)."""
 
     def __init__(self, path, mode, nt, res, regular=True, samples=256,
-                 load_all=False, n_nodes=None):
+                 eval_support="lr", load_all=False, n_nodes=None):
         key_res = res if regular or n_nodes is None else n_nodes
         super().__init__(path, mode, f"pde_{nt}-{key_res}", load_all)
         self.regular = regular
         self.samples = samples
+        self.eval_support = eval_support
 
     def __getitem__(self, idx):
         if self.regular:
@@ -290,8 +312,9 @@ class DatasetImplicitGNN2D(_H5Base):
         t = np.asarray(self.data["t"][idx], np.float32)
 
         T, _, N = u_hr.shape
-        u_lr = u_hr[:, :, ::2]
-        lr_coord = coords[::2]
+        full = self.mode != "train" and self.eval_support == "full"
+        u_lr = u_hr if full else u_hr[:, :, ::2]
+        lr_coord = coords if full else coords[::2]
 
         indices_left = np.setdiff1d(np.arange(N), np.arange(N)[::2])
         if self.mode == "train":
@@ -299,7 +322,7 @@ class DatasetImplicitGNN2D(_H5Base):
                 self.rng.choice(indices_left, self.samples, replace=False)
             )
         else:
-            sample_lst = indices_left
+            sample_lst = np.arange(N) if full else indices_left
         hr_coord = coords[sample_lst]
         hr_points = u_hr[:, 0, sample_lst][:, :, None]
 

@@ -80,7 +80,14 @@ class INRDecoder1D(fnn.Module):
         preds = proj_head(inp)                               # (2, N, T, nc)
 
         # both 'interpolation' branches are identical in the reference
-        ret = (preds[0] * areas[1] + preds[1] * areas[0]) / (areas[1] + areas[0])
+        num = preds[0] * areas[1] + preds[1] * areas[0]
+        den = areas[1] + areas[0]
+        # den == 0 iff both ±dx taps clip into the SAME cell, which happens
+        # only when the query sits exactly on that cell's center at the mesh
+        # edge (full-support eval, eval_support='full'); the blend is then
+        # that cell's prediction.  where-in-where keeps grads NaN-free.
+        safe = jnp.where(den > 0, den, 1.0)
+        ret = jnp.where(den > 0, num / safe, preds[0])
         return ret
 
 

@@ -300,3 +300,54 @@ def test_grad_clip_scales_spike(tmp_path, f1d_train):
     ]
     assert all(np.isfinite(r["train_loss"]) for r in rows)
     assert rows[-1]["train_loss"] < rows[0]["train_loss"]
+
+
+def test_eval_support_full(f1d_train):
+    """eval_support='full' (BASELINE.md E1 apples-to-apples mode): the
+    eval-time support becomes the whole test mesh (support == query) for
+    both implicit families; train mode is untouched; the batches still
+    flow through the models (the INR 'area' blend must stay finite on
+    coincident query/support nodes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from magnet_tpu.data.datasets import DatasetImplicit1D, DatasetImplicitGNN1D
+
+    for cls, ck, qk in (
+        (DatasetImplicit1D, None, "coords"),
+        (DatasetImplicitGNN1D, "coords_lr", "coords_hr"),
+    ):
+        lr = cls(f1d_train, "test", nt=20, nx=32, eval_support="lr")[0]
+        fu = cls(f1d_train, "test", nt=20, nx=32, eval_support="full")[0]
+        L = lr["hr_frames"].shape[-1]
+        assert lr["lr_frames"].shape[-1] == L // 2
+        assert fu["lr_frames"].shape[-1] == L
+        np.testing.assert_array_equal(fu["lr_frames"], fu["hr_frames"])
+        assert fu["hr_points"].shape[1] == L          # queries = every node
+        if ck:  # support coords == query coords (GNN family)
+            np.testing.assert_allclose(fu[ck][:, 0], fu[qk][:, 0])
+        # train mode ignores the flag
+        tr = cls(f1d_train, "train", nt=20, nx=32, samples=8,
+                 eval_support="full")[0]
+        assert tr["lr_frames"].shape[-1] == L // 2
+
+    # full-support batches run through both models, finite outputs
+    from magnet_tpu.data.loader import DataLoader
+
+    for name, cls, hp in (
+        ("magnet_cnn", DatasetImplicit1D,
+         dict(hidden_dim=8, latent_dim=8, num_blocks=1, interaction_steps=1,
+              time_slice=10, interpolation="area", loss="l1")),
+        ("magnet_gnn", DatasetImplicitGNN1D,
+         dict(hidden_dim=8, latent_dim=8, mlp_layers=1, interaction_steps=1,
+              time_slice=10, neighbors=2, interpolation="area", loss="l1")),
+    ):
+        ds = cls(f1d_train, "test", nt=20, nx=32, eval_support="full")
+        b = next(iter(DataLoader(ds, 2, seed=0, prefetch=0)))
+        model = create_model(name, hp)
+        g = model.build_graph(b)
+        jb = jax.tree.map(jnp.asarray, dict(b))
+        p = model.init(jax.random.PRNGKey(0), jb, g)
+        pred = model.predict(p, jb, g)
+        pred0 = pred[0] if isinstance(pred, tuple) else pred
+        assert bool(jnp.isfinite(pred0).all()), name
