@@ -27,6 +27,8 @@ def main():
     side = int(os.environ.get("BENCH_SIDE", 256))
     latent = int(os.environ.get("BENCH_LATENT", 32))
     mp_steps = int(os.environ.get("BENCH_MP", 4))
+    dtype = {"f32": None, "bf16": jnp.bfloat16}[
+        os.environ.get("BENCH_DTYPE", "f32")]
     B, T_IN = 1, 10
 
     coords = make_coord_np([side, side])[None]               # (1, N, 2)
@@ -34,7 +36,24 @@ def main():
     # reference 2D radius 0.1 in [-1,1] coords (magnet_cnn_2d.yaml), capped
     # at 32 neighbors like torch_cluster
     t0 = time.time()
-    g = build_radius_graph_batch(coords, 0.1 if side >= 64 else 0.3, loop=True)
+    radius = 0.1 if side >= 64 else 0.3
+    # the 65k-node blocked packing takes minutes host-side; cache the
+    # finished Graph across benchmark invocations (pure benchmark-speed aid
+    # — training runs keep the in-process cache in models/common.py)
+    cache = f"/tmp/large_mesh_graph_{side}.npz"
+    if os.path.exists(cache):
+        from magnet_tpu.models.common import Graph
+
+        z = np.load(cache, allow_pickle=True)
+        g = Graph(**{k: (None if z[k].ndim == 0 and z[k].item() is None
+                         else jnp.asarray(z[k]))
+                     for k in z.files})
+    else:
+        g = build_radius_graph_batch(coords, radius, loop=True)
+        np.savez(cache, **{f: (np.asarray(getattr(g, f))
+                               if getattr(g, f) is not None
+                               else np.array(None))
+                           for f in g._fields})
     e_real = float(np.asarray(g.edge_mask).sum())
     print(f"N={n} nodes, E={e_real:.0f} edges, host build {time.time()-t0:.2f}s",
           flush=True)
@@ -44,13 +63,14 @@ def main():
         def __call__(self, nf, ef, gg):
             enc = batch_vmap(GraphEncoder, in_axes=(0, 0), node_out=latent,
                              edge_out=latent, mlp_layers=2, mlp_hidden=latent,
-                             name="enc")
+                             dtype=dtype, name="enc")
             proc = batch_vmap(GraphProcessor, in_axes=(0, 0, 0),
                               latent_dim=latent, num_steps=mp_steps,
                               mlp_layers=2, mlp_hidden=latent, remat=True,
-                              name="proc")
+                              dtype=dtype, name="proc")
             dec = batch_vmap(GraphDecoder, in_axes=(0,), node_out=T_IN,
-                             mlp_layers=2, mlp_hidden=latent, name="dec")
+                             mlp_layers=2, mlp_hidden=latent, dtype=dtype,
+                             name="dec")
             x, e = enc(nf, ef)
             x, _ = proc(x, e, gg)
             return dec(x)

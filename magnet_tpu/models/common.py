@@ -225,10 +225,12 @@ def build_radius_graph_batch(
 def _snd2_fields(blocked, key):
     """Batch the sender-tile layout (in-kernel sender gather); K is the
     sticky batch max so the compiled kernel is stable across batches.
-    The transpose layout (snd_edge_ids) is required too — the fused2
-    backward reduces d_pxj through it."""
-    if not all(g.snd2_tids is not None and g.snd_edge_ids is not None
-               for g in blocked):
+    The transpose layout (snd_edge_ids) is NOT required: without it the
+    fused2 backward must use the in-kernel d_pxj accumulator
+    (graphnet._fused2_mode enforces that pairing), which is exactly the
+    large-mesh case — extreme out-degree skew kills the transpose
+    blocking (256² regular grids) while the snd2 chunk spread stays ≤K."""
+    if not all(g.snd2_tids is not None for g in blocked):
         return {}
     kmax = max(g.snd2_k for g in blocked)
     rkey = key + ("snd2",)

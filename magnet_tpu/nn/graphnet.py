@@ -17,6 +17,7 @@ All modules operate on a single graph sample; vmap over batch.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import jax
@@ -182,8 +183,14 @@ class InteractionNetwork(fnn.Module):
         s = jnp.asarray(e_scale, pe.dtype)
         return s * pe + (1 - s) * b
 
-    # VMEM budget for the fused2 resident node table (p_xj + padding)
-    _FUSED2_TABLE_BYTES = 5 * 2**20
+    # VMEM budget for the fused2 resident node table (p_xj + padding).
+    # Env-overridable (MiB): the 5 MiB default is conservative — the fwd
+    # kernel's other VMEM residents at bench shapes total <1 MiB, so large
+    # meshes (256^2·H32 f32 = 8 MiB) still fit the ~16 MiB chip VMEM; the
+    # backward falls to the transpose-blocking d_pxj reduce when the f32
+    # accumulator would not also fit (see DPXJ_TABLE_BYTES).
+    _FUSED2_TABLE_BYTES = int(
+        float(os.environ.get("MAGNET_TPU_FUSED2_TABLE_MB", 5)) * 2**20)
 
     def _fused2_mode(self, gs, n_pad, hdim) -> str | None:
         """None (fall back to the XLA sender gather), 'vmem' (whole
@@ -191,12 +198,26 @@ class InteractionNetwork(fnn.Module):
         window DMAs — large meshes)."""
         import os
 
-        if gs.blk_snd2_tids is None or gs.blk_snd_edge_ids is None:
+        if gs.blk_snd2_tids is None:
             return None
         if os.environ.get("MAGNET_TPU_NO_FUSED2"):
             return None
         bpe = 2 if self.dtype == jnp.bfloat16 else 4
-        if n_pad * hdim * bpe <= self._FUSED2_TABLE_BYTES:
+        vmem_ok = n_pad * hdim * bpe <= self._FUSED2_TABLE_BYTES
+        if gs.blk_snd_edge_ids is None:
+            # No sender-transpose layout (extreme out-degree skew, e.g.
+            # 256² regular grids where torch_cluster's lowest-index cap
+            # funnels edges into a few sender tiles): the backward has no
+            # transpose fallback, so only the ragged VMEM lane with the
+            # in-kernel d_pxj accumulator qualifies.
+            from magnet_tpu.ops.pallas_kernels import DPXJ_TABLE_BYTES
+
+            if (vmem_ok and gs.blk_chunk_ct is not None
+                    and n_pad * hdim * 4 <= DPXJ_TABLE_BYTES
+                    and not os.environ.get("MAGNET_TPU_NO_FUSED2R")):
+                return "vmem"
+            return None
+        if vmem_ok:
             return "vmem"
         if (gs.blk_chunk_ct is not None
                 and not os.environ.get("MAGNET_TPU_NO_FUSED2H")):

@@ -27,7 +27,11 @@ TILE_N = 128  # nodes per tile (MXU-aligned)
 # nn/gnn_layer.py) MUST import this constant rather than hardcoding a copy:
 # fold-e has no transpose-blocking fallback, so a caller gate looser than the
 # kernel gate would crash training at runtime.
-DPXJ_TABLE_BYTES = 6 * 2**20
+# Env-overridable (MiB) for large-mesh experiments: at 256^2/H=32 the d_pxj
+# table is 8 MiB — over the default gate but well inside the chip's ~16 MiB
+# VMEM when the pxj table itself is bf16 (4 MiB).
+DPXJ_TABLE_BYTES = int(
+    float(os.environ.get("MAGNET_TPU_DPXJ_MB", 6)) * 2**20)
 
 
 def _use_pallas() -> bool:
