@@ -79,6 +79,24 @@ def torch_batch(model_name, b):
     return {k: torch.as_tensor(v) for k, v in b.items()}
 
 
+TIME_KEYS = ("t", "lr_frames", "hr_frames", "hr_points", "u")
+
+
+def clip_nt(b, ts):
+    """Clip every time axis to a multiple of the window length.  The
+    REFERENCE training_step requires nt % time_slice == 0 (its interp
+    target is u_values[:, :-ts], magnet_cnn.py:428 — nt=250/ts=16 crashes
+    with a broadcast error, i.e. the reference cannot train this config
+    as shipped); our stack slices to (n_win+1)*ts internally, so clipping
+    makes both sides train the identical horizon."""
+    out = dict(b)
+    for k in TIME_KEYS:
+        if k in out:
+            nt = out[k].shape[1]
+            out[k] = out[k][:, : (nt // ts) * ts]
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="magnet_cnn",
@@ -106,8 +124,11 @@ def main():
         ds_tr = Dataset1D(args.data, "train", nt=args.nt, nx=args.nx)
         ds_va = Dataset1D(args.val, "valid", nt=args.nt, nx=args.nx)
     ld_tr = DataLoader(ds_tr, args.batch, seed=args.seed, prefetch=0)
-    ld_va = DataLoader(ds_va, args.batch, seed=args.seed, shuffle=False,
-                       prefetch=0)
+    # val sets can be smaller than the train batch (E1 'valid' group holds
+    # 16 trajectories); drop_last would then yield ZERO val batches and
+    # np.mean([]) = NaN on both sides of the comparison.
+    ld_va = DataLoader(ds_va, min(args.batch, len(ds_va)), seed=args.seed,
+                       shuffle=False, prefetch=0)
 
     ref = build_ref(args.model, hp)
     sd0 = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
@@ -137,12 +158,14 @@ def main():
         loss, m = ours.loss(p, jb, graph, train=False)
         return m["mae_loss"]
 
+    ts = hp.get("time_slice") or hp.get("time_history")
     fout = open(args.out, "w")
     for epoch in range(args.epochs):
         ld_tr.set_epoch(epoch)
         t0 = time.time()
         r_losses, o_losses = [], []
         for b in ld_tr:
+            b = clip_nt(b, ts)
             tb = torch_batch(args.model, b)
             opt.zero_grad()
             rl = ref.training_step(tb, 0)
@@ -159,6 +182,7 @@ def main():
         r_val, o_val = [], []
         with torch.no_grad():
             for b in ld_va:
+                b = clip_nt(b, ts)
                 tb = torch_batch(args.model, b)
                 if args.model == "fno_1d":
                     ref.validation_step(tb, 0)
@@ -182,14 +206,20 @@ def main():
     # score the torch-trained weights through OUR eval path: if the
     # reference's own training lands at the same place, the stack is clean
     sdF = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+    np.savez(args.out + ".ref_final.npz", **sdF)  # keep for offline scoring
     pF = jax.tree.map(jnp.asarray, imp.import_state_dict(args.model, sdF, hp))
     final = {}
     for tag, p in (("ref_final", pF), ("ours_final", params)):
         vals = []
         for b in ld_va:
+            b = clip_nt(b, ts)
             jb = {k: jnp.asarray(v) for k, v in b.items()}
             vals.append(float(j_val(p, jb, ours.build_graph(b))))
         final[tag + "_val_mae"] = float(np.mean(vals))
+    from flax import serialization
+
+    with open(args.out + ".ours_final.msgpack", "wb") as f:
+        f.write(serialization.to_bytes(params))
     fout.write(json.dumps(final) + "\n")
     print(final)
     fout.close()

@@ -724,7 +724,10 @@ def test_mpnn2d_partitioned_scan_matches_unroll():
     }
     m = create_model(
         "mpnn_2d",
-        dict(hidden_features=16, hidden_layer=2, time_window=tw, neighbors=1,
+        # hidden_features=128 is required by the temporal-bundling decoder's
+        # hand-picked conv table for tw=10 ((128-16)//6+1-10+1 == 10,
+        # nn/gnn_layer.py:163-169 — reference mpnn.py:140-163 semantics)
+        dict(hidden_features=128, hidden_layer=2, time_window=tw, neighbors=1,
              teacher_forcing=False, loss="l1"),
     )
     g = m.build_graph(batch)
