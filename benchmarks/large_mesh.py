@@ -40,7 +40,11 @@ def main():
     # the 65k-node blocked packing takes minutes host-side; cache the
     # finished Graph across benchmark invocations (pure benchmark-speed aid
     # — training runs keep the in-process cache in models/common.py)
-    cache = f"/tmp/large_mesh_graph_{side}.npz"
+    # the blocked layout (snd2 chunk metadata) depends on the re-bucketing
+    # env knob — key the cache on it so chunk experiments don't read a
+    # layout built for a different chunk size
+    c2 = os.environ.get("MAGNET_TPU_CHUNK2", "0")
+    cache = f"/tmp/large_mesh_graph_{side}_c{c2}.npz"
     if os.path.exists(cache):
         from magnet_tpu.models.common import Graph
 

@@ -191,6 +191,12 @@ class InteractionNetwork(fnn.Module):
     # accumulator would not also fit (see DPXJ_TABLE_BYTES).
     _FUSED2_TABLE_BYTES = int(
         float(os.environ.get("MAGNET_TPU_FUSED2_TABLE_MB", 5)) * 2**20)
+    # Combined table+d_pxj residency budget for the snd-less VMEM lane
+    # (both must sit in VMEM simultaneously in the backward): 6 MiB
+    # (181²·H32) measured fine, 12 MiB (256²·H32) measured OOM once the
+    # chunk scratch is added — 8 MiB splits the difference conservatively.
+    _SND2_VMEM_COMBINED_BYTES = int(
+        float(os.environ.get("MAGNET_TPU_SND2_VMEM_COMBINED_MB", 8)) * 2**20)
 
     def _fused2_mode(self, gs, n_pad, hdim) -> str | None:
         """None (fall back to the XLA sender gather), 'vmem' (whole
@@ -208,14 +214,33 @@ class InteractionNetwork(fnn.Module):
             # No sender-transpose layout (extreme out-degree skew, e.g.
             # 256² regular grids where torch_cluster's lowest-index cap
             # funnels edges into a few sender tiles): the backward has no
-            # transpose fallback, so only the ragged VMEM lane with the
-            # in-kernel d_pxj accumulator qualifies.
-            from magnet_tpu.ops.pallas_kernels import DPXJ_TABLE_BYTES
+            # transpose fallback, so the in-kernel d_pxj accumulator must
+            # fit.  Two lanes qualify:
+            #  - vmem: table AND d_pxj both resident — gated on their
+            #    COMBINED footprint (VERDICT r2 #9: the per-buffer gates
+            #    admitted 256²·H32 bf16 = 4+8 MiB, which OOMs scoped VMEM
+            #    once chunk scratch is added; 181²·H32 = 2+4 MiB runs at
+            #    47-51M edges/s).
+            #  - hbm: table windowed from HBM in the fwd (which then
+            #    auto-emits the h0 activation cache) and STUBBED OUT of
+            #    the bwd entirely — only d_pxj stays resident, so the
+            #    looser DPXJ_H0_BYTES budget applies (256²·H32: 44.9M
+            #    edges/s vs 24.0M on the XLA-gather fallback).
+            from magnet_tpu.ops.pallas_kernels import (
+                DPXJ_H0_BYTES,
+                DPXJ_TABLE_BYTES,
+            )
 
-            if (vmem_ok and gs.blk_chunk_ct is not None
-                    and n_pad * hdim * 4 <= DPXJ_TABLE_BYTES
-                    and not os.environ.get("MAGNET_TPU_NO_FUSED2R")):
+            if (gs.blk_chunk_ct is None
+                    or os.environ.get("MAGNET_TPU_NO_FUSED2R")):
+                return None
+            combined = n_pad * hdim * (bpe + 4)
+            if (vmem_ok and n_pad * hdim * 4 <= DPXJ_TABLE_BYTES
+                    and combined <= self._SND2_VMEM_COMBINED_BYTES):
                 return "vmem"
+            if (n_pad * hdim * 4 <= DPXJ_H0_BYTES
+                    and not os.environ.get("MAGNET_TPU_NO_FUSED2H")):
+                return "hbm"
             return None
         if vmem_ok:
             return "vmem"

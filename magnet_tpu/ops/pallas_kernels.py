@@ -32,6 +32,12 @@ TILE_N = 128  # nodes per tile (MXU-aligned)
 # VMEM when the pxj table itself is bf16 (4 MiB).
 DPXJ_TABLE_BYTES = int(
     float(os.environ.get("MAGNET_TPU_DPXJ_MB", 6)) * 2**20)
+# Looser d_pxj budget when the h0 forward-activation cache is active: the
+# backward then holds NO sender table (stub) and no recompute scratch, so
+# the accumulator can take most of the chip VMEM.  Measured: 8 MiB d_pxj
+# (256^2 x H32) compiles and trains at 44.9M edges/s on v5e.
+DPXJ_H0_BYTES = int(
+    float(os.environ.get("MAGNET_TPU_DPXJ_H0_MB", 9)) * 2**20)
 
 
 def _use_pallas() -> bool:
@@ -1423,9 +1429,9 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                 win_ref, sem = win
                 cps = []
                 for k in range(K):
-                    tid = tid_ref[t, ec, k]
+                    tid = tid_ref[(t * nc + ec) * K + k]
                     cp = pltpu.make_async_copy(
-                        pxj_ref.at[pl.ds(jnp.maximum(tid, 0) * 128, 128)],
+                        pxj_ref.at[jnp.maximum(tid, 0)],
                         win_ref.at[pl.ds(k * 128, 128)],
                         sem.at[k],
                     )
@@ -1446,7 +1452,7 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                 # per-matmul issue dominate the kernel (ablation:
                 # construction 21% + gather matmuls 45% of fwd time)
                 for k in range(K):
-                    tid = tid_ref[t, ec, k]
+                    tid = tid_ref[(t * nc + ec) * K + k]
 
                     @pl.when(tid >= 0)
                     def _(k=k, tid=tid):
@@ -1471,11 +1477,11 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                     colsw == (K * 128 + recv)[:, None]).astype(dt)
                 gg = _dot(oh_w, comb_ref[...])          # g0 + gath fused
             else:
-                g0_ref[...] = jnp.zeros((chunk, H), jnp.float32)
+                g0_ref[...] = jnp.zeros((chunk, Hp), jnp.float32)
                 cols128 = jax.lax.broadcasted_iota(
                     jnp.int32, (chunk, 128), 1)
                 for k in range(K):
-                    tid = tid_ref[t, ec, k]
+                    tid = tid_ref[(t * nc + ec) * K + k]
 
                     @pl.when(tid >= 0)
                     def _(k=k, tid=tid):
@@ -1503,7 +1509,8 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                     gath = jnp.zeros((chunk, H), jnp.float32)
                 else:
                     gath = _dot(oh_g, pxi_ref[0])
-                gg = g0_ref[...] + gath
+                g0 = (g0_ref[...][:, :H] if Hp != H else g0_ref[...])
+                gg = g0 + gath
             if fold:
                 pe_c = _dot(pe_ref[0], we_ref[:]) + be_ref[0][None, :]
             else:
@@ -1541,12 +1548,20 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         shape, lambda i, ct, cc, fl, tid: (0,) * len(shape))
     pxj_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_table
                 else full(n_pad, H))
+    Hp = ((H + 127) // 128) * 128 if hbm_table else H
+    if hbm_table:
+        # whole-tile 3-D view with the lane dim padded to the 128 tiling:
+        # window DMAs must copy whole (128, Hp) tiles (Mosaic rejects
+        # slices narrower than the lane tiling); the gather matmul runs
+        # at Hp and the result is sliced back to H once per chunk
+        pxj = jnp.pad(pxj.reshape(n_pad // 128, 128, H),
+                      ((0, 0), (0, 0), (0, Hp - H)))
     if merged_oh:
         scratch = [pltpu.VMEM((K * 128 + tile_n, H), dt)]
     else:
-        scratch = [pltpu.VMEM((chunk, H), jnp.float32)]
+        scratch = [pltpu.VMEM((chunk, Hp), jnp.float32)]
     if hbm_table:
-        scratch += [pltpu.VMEM((K * 128, H), pxj.dtype),
+        scratch += [pltpu.VMEM((K * 128, Hp), pxj.dtype),
                     pltpu.SemaphoreType.DMA((K,))]
     pe_spec = pl.BlockSpec(
         (1, chunk, Ce if fold else H),
@@ -1596,7 +1611,7 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             bytes_accessed=4 * (T * E * H + n_pad * H + T * tile_n * H),
             transcendentals=0,
         ),
-    )(ct, cc, flag, tids, pe, *fold_args, pxj, pxi, w_rest, b_rest,
+    )(ct, cc, flag, tids.reshape(-1), pe, *fold_args, pxj, pxi, w_rest, b_rest,
       w_out, b_out2, ln_s2, ln_b2, sl3, recv3, mask3)
 
 
@@ -1726,10 +1741,9 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                     win_ref, sem = win
                     cps = []
                     for k in range(K):
-                        tid = tid_ref[t, ec, k]
+                        tid = tid_ref[(t * nc + ec) * K + k]
                         cp = pltpu.make_async_copy(
-                            pxj_ref.at[
-                                pl.ds(jnp.maximum(tid, 0) * 128, 128)],
+                            pxj_ref.at[jnp.maximum(tid, 0)],
                             win_ref.at[pl.ds(k * 128, 128)],
                             sem.at[k],
                         )
@@ -1741,7 +1755,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                         cps.append(cp)
                 if merged_oh:
                     for k in range(K):
-                        tid = tid_ref[t, ec, k]
+                        tid = tid_ref[(t * nc + ec) * K + k]
 
                         @pl.when(tid >= 0)
                         def _(k=k, tid=tid):
@@ -1763,9 +1777,9 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                     oh_w = jnp.concatenate([oh_s, oh_g], axis=1)
                     gg = _dot(oh_w, comb_ref[...])
                 else:
-                    g0_ref[...] = jnp.zeros((chunk, H), jnp.float32)
+                    g0_ref[...] = jnp.zeros((chunk, Hp), jnp.float32)
                     for k in range(K):
-                        tid = tid_ref[t, ec, k]
+                        tid = tid_ref[(t * nc + ec) * K + k]
 
                         @pl.when(tid >= 0)
                         def _(k=k, tid=tid):
@@ -1780,7 +1794,8 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                             g0_ref[...] += _dot(ohk, w_rows.astype(dt))
 
                     gath = _dot(oh_g, pxi_ref[0])
-                    gg = g0_ref[...] + gath
+                    g0 = (g0_ref[...][:, :H] if Hp != H else g0_ref[...])
+                    gg = g0 + gath
 
                 if fold:
                     pe_c = _dot(pe_ref[0], we_ref[:]) + be_ref[0][None, :]
@@ -1849,7 +1864,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                     # rows are zero — sl never points at them)
                     tmp = _dot_t(oh_s, d_hc)              # (K*128, H) f32
                     for k in range(K):
-                        tid = tid_ref[t, ec, k]
+                        tid = tid_ref[(t * nc + ec) * K + k]
 
                         @pl.when(tid >= 0)
                         def _(k=k, tid=tid):
@@ -1859,7 +1874,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                                 + tmp[k * 128:(k + 1) * 128, :])
                 else:
                     for k in range(K):
-                        tid = tid_ref[t, ec, k]
+                        tid = tid_ref[(t * nc + ec) * K + k]
 
                         @pl.when(tid >= 0)
                         def _(k=k, tid=tid):
@@ -1915,15 +1930,29 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         out_specs = out_specs + (full(n_pad, H),)
     pxj_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_table
                 else full(n_pad, H))
+    Hp = ((H + 127) // 128) * 128 if hbm_table else H
+    if hbm_table:
+        # whole-tile lane-padded 3-D view — see _fused2r_fwd_pallas
+        pxj = jnp.pad(pxj.reshape(n_pad // 128, 128, H),
+                      ((0, 0), (0, 0), (0, Hp - H)))
+    if use_h0 and not hbm_table:
+        # with the cached forward activation the recompute branch (the
+        # only reader of the sender table) is dead code — pass a 128-row
+        # stub instead of keeping the (n_pad, H) table resident in VMEM
+        # (frees the table budget for the d_pxj accumulator: the enabler
+        # for the snd2-only vmem lane at 256²·H32, where table 4 MiB +
+        # d_pxj 8 MiB + chunk scratch exceeds the ~16 MiB chip VMEM)
+        pxj = pxj[:128]
+        pxj_spec = full(128, H)
     if use_h0:
         scratch = []
     elif merged_oh:
         scratch = [pltpu.VMEM((K * 128 + tile_n, H), dt)]
     else:
-        scratch = [pltpu.VMEM((chunk, H), jnp.float32)]
+        scratch = [pltpu.VMEM((chunk, Hp), jnp.float32)]
     if hbm_table:
         assert not use_h0, "h0 cache is gated to the VMEM-table variant"
-        scratch += [pltpu.VMEM((K * 128, H), pxj.dtype),
+        scratch += [pltpu.VMEM((K * 128, Hp), pxj.dtype),
                     pltpu.SemaphoreType.DMA((K,))]
     pe_spec = pl.BlockSpec(
         (1, chunk, Ce if fold else H),
@@ -1971,7 +2000,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                                 + T * tile_n * (H + C)),
             transcendentals=0,
         ),
-    )(ct, cc, flag, tids, pe, *fold_args, pxj, pxi, w_rest, b_rest,
+    )(ct, cc, flag, tids.reshape(-1), pe, *fold_args, pxj, pxi, w_rest, b_rest,
       w_out, b_out2, ln_s2, sl3, recv3, mask3, g, *h0_args)
     dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb = res[:8]
     res = res[8:]
@@ -2052,8 +2081,15 @@ def _make_fused2r(hbm_table: bool, fold_e: bool = False):
         # per-chunk h0 block write-back costs more than the saved MXU
         # time.  Kept for larger-H / deeper-tail shapes where the
         # recompute dominates.
-        emit = (_use_pallas() and not hbm_table
-                and bool(os.environ.get("MAGNET_TPU_H0CACHE")))
+        # (with an HBM table, h0 additionally lets the BACKWARD drop the
+        # window DMAs AND the table residency entirely — see bwd below —
+        # which is what makes the snd-less hbm lane viable at 256²·H32;
+        # for that lane h0 is MANDATORY: the backward has neither a
+        # transpose fallback (no snd layout) nor the VMEM for a resident
+        # table, so it auto-enables rather than reading the env)
+        emit = (_use_pallas()
+                and (bool(os.environ.get("MAGNET_TPU_H0CACHE"))
+                     or (hbm_table and snd_edge_ids is None)))
         if emit:
             out, h0 = _fused2r_fwd_pallas(
                 pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
@@ -2114,13 +2150,19 @@ def _make_fused2r(hbm_table: bool, fold_e: bool = False):
         # fallback (and the only option for the HBM-table variant)
         T, E = pe.shape[:2]
         H = we.shape[1] if fold_e else pe.shape[2]
-        in_kernel = (not hbm_table
-                     and pxj.shape[0] * H * 4 <= DPXJ_TABLE_BYTES)
+        # with the cached h0 the backward never reads the sender table,
+        # so the HBM-table variant degenerates to the (stubbed) VMEM
+        # form — window DMAs and the hbm gating both drop out
+        bwd_hbm = hbm_table and h0 is None
+        in_kernel = (not bwd_hbm
+                     and pxj.shape[0] * H * 4
+                     <= (DPXJ_H0_BYTES if h0 is not None
+                         else DPXJ_TABLE_BYTES))
         (dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb, dpxj, dwe,
          dbe) = _fused2r_bwd_pallas(
             pe, pxj, pxi, w_rest, b_rest, w_out, b_out, ln_s, ln_b,
             tids, sl2, recv_local, mask, ct, cc, flag, g,
-            hbm_table=hbm_table, dpxj_in_kernel=in_kernel, h0=h0,
+            hbm_table=bwd_hbm, dpxj_in_kernel=in_kernel, h0=h0,
             **({"we": we, "be": be} if fold_e else {}))
         if dpxj is None:
             # reduce d_z into sender rows via the transpose blocking.
@@ -2267,7 +2309,7 @@ def _mpnn2r_fwd_pallas(pxj, pr, w, b, tids, sl2, recv_local, mask,
             g0_ref[...] = jnp.zeros((chunk, H), jnp.float32)
             cols128 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
             for k in range(K):
-                tid = tid_ref[t, ec, k]
+                tid = tid_ref[(t * nc + ec) * K + k]
 
                 @pl.when(tid >= 0)
                 def _(k=k, tid=tid):
@@ -2319,7 +2361,7 @@ def _mpnn2r_fwd_pallas(pxj, pr, w, b, tids, sl2, recv_local, mask,
             bytes_accessed=4 * (pxj.shape[0] * H + 2 * T * tile_n * H),
             transcendentals=2 * T * E * H,
         ),
-    )(ct, cc, flag, tids, pxj, pr, w, b2, sl3, recv3, mask3)
+    )(ct, cc, flag, tids.reshape(-1), pxj, pr, w, b2, sl3, recv3, mask3)
 
 
 def _mpnn2r_bwd_pallas(pxj, pr, w, b, tids, sl2, recv_local, mask,
@@ -2365,7 +2407,7 @@ def _mpnn2r_bwd_pallas(pxj, pr, w, b, tids, sl2, recv_local, mask,
             g0_ref[...] = jnp.zeros((chunk, H), jnp.float32)
             cols128 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
             for k in range(K):
-                tid = tid_ref[t, ec, k]
+                tid = tid_ref[(t * nc + ec) * K + k]
 
                 @pl.when(tid >= 0)
                 def _(k=k, tid=tid):
@@ -2400,7 +2442,7 @@ def _mpnn2r_bwd_pallas(pxj, pr, w, b, tids, sl2, recv_local, mask,
             dpr_ref[0] = dpr_ref[0] + _dot(oh_a, d_z1c)
             # d_send: transposed sender one-hots into the resident table
             for k in range(K):
-                tid = tid_ref[t, ec, k]
+                tid = tid_ref[(t * nc + ec) * K + k]
 
                 @pl.when(tid >= 0)
                 def _(k=k, tid=tid):
@@ -2453,7 +2495,7 @@ def _mpnn2r_bwd_pallas(pxj, pr, w, b, tids, sl2, recv_local, mask,
             bytes_accessed=4 * (2 * n_pad * H + 3 * T * tile_n * H),
             transcendentals=4 * T * E * H,
         ),
-    )(ct, cc, flag, tids, pxj, pr, w, b2, sl3, recv3, mask3, g)
+    )(ct, cc, flag, tids.reshape(-1), pxj, pr, w, b2, sl3, recv3, mask3, g)
     return dpxj, dpr, dw, db.reshape(H)
 
 

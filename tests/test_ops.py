@@ -1191,3 +1191,61 @@ def test_interaction_network_fused2_snd2_only():
             np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4),
         g1, g2,
     )
+
+
+def test_interaction_network_fused2_hbm_h0_snd2_only():
+    """Snd-less HBM-window lane (256²-scale meshes where the VMEM table +
+    d_pxj accumulator exceed chip VMEM): with the h0 forward-activation
+    cache the forward windows the table from HBM and the backward skips
+    the table entirely (stub) while accumulating d_pxj in-kernel.
+    Loss/grads must match the unfused path."""
+    import os
+
+    from magnet_tpu.nn.graphnet import InteractionNetwork
+    from magnet_tpu.models.common import batch_vmap, build_radius_graph_batch
+
+    rng = np.random.default_rng(35)
+    B, n, latent = 2, 260, 16
+    coords = np.sort(rng.uniform(-1, 1, (B, n, 1)), axis=1)
+    coords = np.concatenate([coords, np.zeros_like(coords)], -1)
+    g = build_radius_graph_batch(coords.astype(np.float32), 0.05, loop=True)
+    assert g.blk_snd2_tids is not None
+    g = g._replace(blk_snd_edge_ids=None, blk_snd_local=None)
+
+    E = g.senders.shape[1]
+    x = jnp.asarray(rng.normal(size=(B, n, latent)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(B, E, latent)).astype(np.float32))
+    inet = batch_vmap(InteractionNetwork, in_axes=(0, 0, 0),
+                      node_out=latent, edge_out=latent, mlp_layers=2,
+                      mlp_hidden=latent)
+    params = inet.init(jax.random.PRNGKey(0), x, e, g)
+
+    def loss(p, graph):
+        a, b = inet.apply(p, x, e, graph)
+        return jnp.mean(a**2) + jnp.mean(b**2)
+
+    inet_probe = InteractionNetwork(node_out=latent, edge_out=latent,
+                                    mlp_layers=2, mlp_hidden=latent)
+    t = g.blk_recv_local.shape[1]
+    os.environ["MAGNET_TPU_PALLAS_INTERPRET"] = "1"
+    os.environ["MAGNET_TPU_H0CACHE"] = "1"
+    # force the table out of VMEM (the gate is a class attribute read at
+    # import time, so patch it rather than the env); keep the d_pxj budget
+    saved_gate = InteractionNetwork._FUSED2_TABLE_BYTES
+    InteractionNetwork._FUSED2_TABLE_BYTES = 1024
+    try:
+        assert inet_probe._fused2_mode(g, t * 128, latent) == "hbm"
+        l2, g2 = jax.value_and_grad(loss)(params, g)
+        os.environ["MAGNET_TPU_NO_FUSED2"] = "1"
+        l1_, g1 = jax.value_and_grad(loss)(params, g)
+    finally:
+        InteractionNetwork._FUSED2_TABLE_BYTES = saved_gate
+        os.environ.pop("MAGNET_TPU_PALLAS_INTERPRET", None)
+        os.environ.pop("MAGNET_TPU_H0CACHE", None)
+        os.environ.pop("MAGNET_TPU_NO_FUSED2", None)
+    np.testing.assert_allclose(float(l2), float(l1_), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4),
+        g1, g2,
+    )
