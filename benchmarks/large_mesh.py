@@ -44,8 +44,18 @@ def main():
     # env knob — key the cache on it so chunk experiments don't read a
     # layout built for a different chunk size
     c2 = os.environ.get("MAGNET_TPU_CHUNK2", "0")
-    cache = f"/tmp/large_mesh_graph_{side}_c{c2}.npz"
+    # key the cache on the PACKING CODE itself too (ADVICE r3): a stale
+    # cached Graph must not survive changes to the blocked-packing logic
+    # or the radius knob — hash the module that builds the layout
+    import hashlib
+
+    import magnet_tpu.models.common as _common_mod
+
+    with open(_common_mod.__file__, "rb") as fsrc:
+        pack_tok = hashlib.sha1(fsrc.read()).hexdigest()[:8]
+    cache = f"/tmp/large_mesh_graph_{side}_c{c2}_r{radius}_{pack_tok}.npz"
     if os.path.exists(cache):
+        print(f"loading cached graph layout {cache}", flush=True)
         from magnet_tpu.models.common import Graph
 
         z = np.load(cache, allow_pickle=True)

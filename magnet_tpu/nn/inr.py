@@ -192,7 +192,11 @@ class KNNDecoder(fnn.Module):
         if self.interpolation == "area":
             w = d2
         elif self.interpolation == "knn":
-            w = 1.0 / d2
+            # d2 == 0 exactly when a query coincides with its support node
+            # (eval_support='full'); 1/0 = inf would make the blend below
+            # inf/inf = NaN.  Guarded division — the degenerate case is
+            # resolved by the where-in-where fallback on the blend.
+            w = 1.0 / jnp.where(d2 > 0, d2, 1.0)
         elif self.interpolation == "sph":
             w = (1.0 - L * d2) ** 3
         else:
@@ -208,11 +212,18 @@ class KNNDecoder(fnn.Module):
 
         # blend of the FIRST TWO neighbors only (reference magnet_gnn.py:276-279)
         if self.interpolation == "area":
-            out = (latents[0] * weights[1] + latents[1] * weights[0]) / (
-                weights[1] + weights[0]
-            )
+            num = latents[0] * weights[1] + latents[1] * weights[0]
         else:
-            out = (latents[0] * weights[0] + latents[1] * weights[1]) / (
-                weights[1] + weights[0]
-            )
-        return out
+            num = latents[0] * weights[0] + latents[1] * weights[1]
+        den = weights[1] + weights[0]
+        # Degenerate geometry (ADVICE r3): under eval_support='full' the
+        # nearest support node coincides with the query (d2[0] == 0, so
+        # 'knn' weights blow up), and duplicate mesh coordinates can zero
+        # the 'area' denominator.  In both cases the exact limit is the
+        # nearest neighbor's latent; where-in-where keeps grads NaN-free.
+        d2_01 = d2[:2]                                       # (2, N, 1)
+        degen = (jnp.min(d2_01, axis=0) <= 0)[:, None, :]    # (N, 1, 1)
+        safe = jnp.where(den != 0, den, 1.0)
+        nearest = jnp.where(d2_01[0] <= d2_01[1], 0, 1)[:, None, :]
+        near_lat = jnp.where(nearest == 0, latents[0], latents[1])
+        return jnp.where(degen, near_lat, num / safe)

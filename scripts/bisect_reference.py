@@ -39,7 +39,11 @@ import jax.numpy as jnp  # noqa: E402
 import optax  # noqa: E402
 
 import ref_stubs  # noqa: E402
-from magnet_tpu.data.datasets import DatasetImplicit1D, Dataset1D  # noqa: E402
+from magnet_tpu.data.datasets import (  # noqa: E402
+    Dataset1D,
+    DatasetImplicit1D,
+    DatasetImplicit2D,
+)
 from magnet_tpu.data.loader import DataLoader  # noqa: E402
 from magnet_tpu.models.factory import create_model  # noqa: E402
 from magnet_tpu.train import import_torch as imp  # noqa: E402
@@ -57,6 +61,15 @@ FNO_HP = dict(  # reference configs/model/fno_1d.yaml
     teacher_forcing=True, loss="l1", lr=1e-3, weight_decay=0.0,
     factor=0.3, step_size=50,
 )
+CNN2D_HP = dict(  # reference configs/model/magnet_cnn_2d.yaml + the B1
+    # protocol override time_slice=10
+    # (scripts/magnet_cnn_2d/magnet_cnn_2d_b1_64_regular.sh:34)
+    time_slice=10, latent_dim=32, num_message_passing_steps=10,
+    mlp_layers=4, mlp_hidden=64, radius=0.1, scales=1, n_chan=128,
+    kernel_size=3, res_scale=1, res_layers=16, teacher_forcing=True,
+    interpolation="area", loss="l1", lr=1e-3, weight_decay=1e-7,
+    factor=0.3, step_size=40,
+)
 
 
 def build_ref(model_name, hp):
@@ -65,6 +78,9 @@ def build_ref(model_name, hp):
     if model_name == "magnet_cnn":
         m = ref_stubs.load("models.magnet_cnn")
         return m.MAgNetCNN(NS(**hp))
+    if model_name == "magnet_cnn_2d":
+        m = ref_stubs.load("models.magnet_cnn_2d")
+        return m.MAgNetCNN_2d(NS(**hp))
     if model_name == "fno_1d":
         m = ref_stubs.load("models.fno_1d")
         return m.FNO1d(NS(**hp))
@@ -100,7 +116,7 @@ def clip_nt(b, ts):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="magnet_cnn",
-                    choices=["magnet_cnn", "fno_1d"])
+                    choices=["magnet_cnn", "fno_1d", "magnet_cnn_2d"])
     ap.add_argument("--data", default="data/KS_train.h5")
     ap.add_argument("--val", default="data/KS_valid.h5")
     ap.add_argument("--nt", type=int, default=128)
@@ -109,17 +125,28 @@ def main():
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--val-every", type=int, default=1,
+                    help="run the val epoch every K train epochs (the full-"
+                    "grid 2D val is ~half the CPU cost of a train epoch)")
     ap.add_argument("--out", default="runs/bisect.jsonl")
     args = ap.parse_args()
 
     torch.manual_seed(args.seed)
-    hp = dict(CNN_HP) if args.model == "magnet_cnn" else dict(FNO_HP)
+    hp = {"magnet_cnn": dict(CNN_HP), "fno_1d": dict(FNO_HP),
+          "magnet_cnn_2d": dict(CNN2D_HP)}[args.model]
 
     if args.model == "magnet_cnn":
         ds_tr = DatasetImplicit1D(args.data, "train", nt=args.nt, nx=args.nx,
                                   samples=args.samples)
         ds_va = DatasetImplicit1D(args.val, "valid", nt=args.nt, nx=args.nx,
                                   samples=args.samples)
+    elif args.model == "magnet_cnn_2d":
+        # reference B1 protocol: res=64, nt=50, samples=256; the 2D
+        # datamodule quirk routes the val split to mode='test'
+        # (reference h5_datamodule_2d.py:121-126)
+        ds_tr = DatasetImplicit2D(args.data, "train", nt=args.nt,
+                                  res=args.nx, samples=args.samples)
+        ds_va = DatasetImplicit2D(args.val, "test", nt=args.nt, res=args.nx)
     else:
         ds_tr = Dataset1D(args.data, "train", nt=args.nt, nx=args.nx)
         ds_va = Dataset1D(args.val, "valid", nt=args.nt, nx=args.nx)
@@ -179,26 +206,25 @@ def main():
             o_losses.append(float(ol))
         sched.step()
 
-        r_val, o_val = [], []
-        with torch.no_grad():
-            for b in ld_va:
-                b = clip_nt(b, ts)
-                tb = torch_batch(args.model, b)
-                if args.model == "fno_1d":
-                    ref.validation_step(tb, 0)
-                else:
-                    ref.validation_step(tb, 0)
-                r_val.append(ref._logged["val_mae_loss"])
-                jb = {k: jnp.asarray(v) for k, v in b.items()}
-                o_val.append(float(j_val(params, jb, ours.build_graph(b))))
         rec = {
             "epoch": epoch,
             "ref_train": float(np.mean(r_losses)),
             "our_train": float(np.mean(o_losses)),
-            "ref_val_mae": float(np.mean(r_val)),
-            "our_val_mae": float(np.mean(o_val)),
-            "time_s": round(time.time() - t0, 1),
         }
+        if epoch % args.val_every == 0 or epoch == args.epochs - 1:
+            r_val, o_val = [], []
+            with torch.no_grad():
+                for b in ld_va:
+                    b = clip_nt(b, ts)
+                    tb = torch_batch(args.model, b)
+                    ref.validation_step(tb, 0)
+                    r_val.append(ref._logged["val_mae_loss"])
+                    jb = {k: jnp.asarray(v) for k, v in b.items()}
+                    o_val.append(float(j_val(params, jb,
+                                             ours.build_graph(b))))
+            rec["ref_val_mae"] = float(np.mean(r_val))
+            rec["our_val_mae"] = float(np.mean(o_val))
+        rec["time_s"] = round(time.time() - t0, 1)
         fout.write(json.dumps(rec) + "\n")
         fout.flush()
         print(rec)

@@ -52,8 +52,11 @@ def score(model, params, path, res, eval_support, nt=250, batch=16):
         pred0 = pred[0] if isinstance(pred, tuple) else pred
         tgt = model.rollout_target(jb, int(pred0.shape[1]))
         vals.append(float(nrmse(pred0, tgt)))
-        # persistence floor on the same target: u(t) := last seen frame
-        last = tgt[:, :1]
+        # persistence floor on the same target: u(t) := the LAST OBSERVED
+        # frame hr_points[:, ts-1] (ADVICE r3 — matches
+        # scripts/persistence_floor.py's u[:, ts-1]; tgt[:, :1] would be a
+        # FUTURE frame and understate the floor)
+        last = jb["hr_points"][:, model.time_slice - 1][:, None]
         pers.append(float(nrmse(jnp.broadcast_to(last, tgt.shape), tgt)))
     return float(np.mean(vals)), float(np.mean(pers))
 
@@ -81,7 +84,9 @@ def main():
             for tag, p in (("ref", p_ref), ("ours", p_ours)):
                 v, floor = score(model, p, path, res, mode)
                 out[f"{tag}_{mode}_test{res}"] = round(v, 4)
-                out[f"persistence_test{res}"] = round(floor, 4)
+                # floor is param-independent; keyed by mode (ADVICE r3 —
+                # the old single key was overwritten per (mode, tag))
+                out[f"persistence_{mode}_test{res}"] = round(floor, 4)
             print(res, mode, {k: v for k, v in out.items() if str(res) in k},
                   flush=True)
 

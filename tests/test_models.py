@@ -325,6 +325,43 @@ def test_knn_decoder_other_interpolations(f1d48, interp):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.parametrize("interp", ["area", "knn", "sph"])
+def test_knn_decoder_degenerate_distance_guard(interp):
+    """ADVICE r3: a query coinciding with its nearest support node
+    (eval_support='full': d2 == 0 exactly) must not NaN the blend — 'knn'
+    forms 1/d2 = inf and inf/inf = NaN without the guard; duplicate mesh
+    coordinates zero the 'area' denominator.  Output AND grads stay
+    finite, and the degenerate query resolves to the nearest latent."""
+    from magnet_tpu.nn.inr import KNNDecoder
+
+    T, C, L, N, K = 2, 1, 6, 4, 2
+    rng = np.random.default_rng(0)
+    x_lr = jnp.asarray(rng.normal(size=(T, C, L)), jnp.float32)
+    enc = jnp.asarray(rng.normal(size=(L, 8)), jnp.float32)
+    lr_coords = jnp.linspace(-1, 1, L, dtype=jnp.float32)[:, None]
+    # query 0 coincides with support node 2; query 1 sits between nodes;
+    # query 2 hits a DUPLICATE pair (nodes 4 and 5 same coord -> den=0
+    # for 'area'); query 3 is generic
+    lr_coords = lr_coords.at[5].set(lr_coords[4])
+    hr = jnp.stack([lr_coords[2], lr_coords[2] + 0.07,
+                    lr_coords[4], lr_coords[0] + 0.11])
+    nbr = jnp.asarray([[2, 3], [2, 3], [4, 5], [0, 1]], jnp.int32)
+    dec = KNNDecoder(n_chan=C, codec_neighbors=K, interpolation=interp)
+    params = dec.init(jax.random.PRNGKey(0), x_lr, enc, lr_coords, hr,
+                      jnp.linspace(0, 1, T), nbr)
+
+    def f(p):
+        out = dec.apply(p, x_lr, enc, lr_coords, hr, jnp.linspace(0, 1, T),
+                        nbr)
+        return jnp.sum(out**2), out
+
+    (val, out), grads = jax.value_and_grad(f, has_aux=True)(params)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert all(np.all(np.isfinite(np.asarray(g)))
+               for g in jax.tree.leaves(grads))
+
+
 def test_losses_l2_smooth_l1(f1d):
     """The reference's alternative criteria (fno_1d.py:83-88) work."""
     ds = Dataset1D(f1d, "train", nt=30, nx=64)
