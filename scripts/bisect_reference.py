@@ -211,7 +211,7 @@ def main():
             "ref_train": float(np.mean(r_losses)),
             "our_train": float(np.mean(o_losses)),
         }
-        if epoch % args.val_every == 0 or epoch == args.epochs - 1:
+        if (epoch + 1) % args.val_every == 0 or epoch == args.epochs - 1:
             r_val, o_val = [], []
             with torch.no_grad():
                 for b in ld_va:
