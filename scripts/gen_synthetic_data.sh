@@ -19,6 +19,8 @@ generate_1d_file('data/CE_train_E3.h5', n_train=64, n_valid=16, n_test=16, nt=25
 generate_1d_file('data/KS_train.h5', n_train=256, n_valid=32, n_test=32, nt=128, nx=256, seed=1, eq='KS')
 generate_1d_file('data/Heat_test.h5', n_train=8, n_valid=16, n_test=16, nt=256, nx=256, seed=21, eq='Heat')
 generate_2d_file('data/B1/burgers_train_B1_64.h5', n_train=32, n_valid=8, n_test=8, nt=50, res=64, seed=2)
+# 32^2 train split for the CPU-budget 2D reference bisect (VERDICT r3 item 1)
+generate_2d_file('data/B1/burgers_train_B1_32.h5', n_train=32, n_valid=8, n_test=8, nt=50, res=32, seed=9)
 generate_2d_file('data/B1/burgers_test_B1_32.h5', n_train=8, n_valid=8, n_test=8, nt=50, res=32, seed=3)
 generate_2d_file('data/B1/burgers_test_B1_64.h5', n_train=8, n_valid=8, n_test=8, nt=50, res=64, seed=5)
 # B2 = second Burgers dataset (different forcing regime -> higher viscosity here)
