@@ -70,6 +70,8 @@ class Trainer:
         steps_per_call: int = 1,
         skip_nonfinite: bool = False,
         grad_clip: float = 0.0,
+        save_last_every: int = 1,
+        best_weights_only: bool = False,
     ):
         self.model = model
         self.max_epochs = max_epochs
@@ -110,7 +112,9 @@ class Trainer:
                 "steps_per_call > 1 unsupported with graph_shards > 1; using 1"
             )
             self.steps_per_call = 1
-        self.ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
+        self.ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"),
+                                      last_every=save_last_every,
+                                      best_weights_only=best_weights_only)
         self.early = EarlyStopping(patience=patience)
         os.makedirs(workdir, exist_ok=True)
         self._metrics_f = open(os.path.join(workdir, "metrics.jsonl"), "a")
@@ -372,6 +376,7 @@ class Trainer:
         profile_dir = os.environ.get("MAGNET_TPU_PROFILE_DIR")
         step = 0
         stop = False
+        epoch = start_epoch - 1
         for epoch in range(start_epoch, self.max_epochs):
             if profile_dir and epoch == start_epoch + 1:
                 # second epoch: steady state, compiles done
@@ -440,6 +445,11 @@ class Trainer:
                 break
 
         self.state = {"params": params, "opt_state": opt_state}
+        # guarantee a final rolling checkpoint for resume even when
+        # save_last_every skipped the final epoch's write
+        if epoch >= start_epoch and self.ckpt.last_epoch != epoch:
+            self.ckpt.save_last(self.state, epoch,
+                                {"val_mae_loss": self.early.best})
         return params
 
     # ------------------------------------------------------------------

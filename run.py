@@ -81,6 +81,8 @@ def main(argv=None):
         steps_per_call=int(cfg.trainer.get("steps_per_call", 1)),
         skip_nonfinite=bool(cfg.trainer.get("skip_nonfinite", False)),
         grad_clip=float(cfg.trainer.get("grad_clip", 0.0)),
+        save_last_every=int(cfg.trainer.get("save_last_every", 1)),
+        best_weights_only=bool(cfg.trainer.get("best_weights_only", False)),
     )
     resume = cfg.get("ckpt_path") or None
     trainer.fit(loaders["train"], loaders["val"], resume=resume)

@@ -43,7 +43,11 @@ FNO_ARGS=(model=fno_2d datamodule=h5_datamodule_2d
   datamodule.nt_test=50 datamodule.res_test=64
   model.params.time_history=10 model.params.time_future=10
   model.params.teacher_forcing=False
-  model.params.modes_1=12 model.params.modes_2=12 trainer.max_epochs=250)
+  model.params.modes_1=12 model.params.modes_2=12 trainer.max_epochs=250
+  trainer.save_last_every=25 trainer.best_weights_only=True)
+# ^ 189M-param model: params+Adam state = 2.27 GB; per-epoch 'last' pulls
+#   through the relay dominated wall clock 30:1 (round-4 finding) — the
+#   large-model checkpoint policy caps that cost.
 
 run camp4_fno_2d_b1_64 5400 42 "${FNO_ARGS[@]}" \
   datamodule.train_path=data/B1/burgers_train_B1_64.h5 \

@@ -67,6 +67,48 @@ def test_fit_reduces_loss_and_checkpoints(tmp_path, f1d_train):
     assert rows2[0]["epoch"] == 5 and len(rows2) == 1
 
 
+def test_ckpt_last_every_and_weights_only_best(tmp_path, f1d_train):
+    """Round-4 large-model checkpoint policy (the 2.27 GB fno_2d 'last'
+    pulled through the relay every epoch dominated wall clock): 'last'
+    written every K val epochs with a guaranteed final write, 'best'
+    optionally params-only (what eval consumes); resume from the rolling
+    'last' still restores the full state."""
+    from magnet_tpu.train.checkpoint import load_checkpoint
+
+    tr, va = _loaders(f1d_train)
+    model = create_model(
+        "fno_1d",
+        dict(modes=5, width=16, num_layers=2, time_history=10, time_future=10,
+             teacher_forcing=True, loss="l1"),
+    )
+    trainer = Trainer(
+        model, max_epochs=5, lr=2e-3, workdir=str(tmp_path / "run"), seed=0,
+        save_last_every=3, best_weights_only=True,
+    )
+    trainer.fit(tr, va)
+
+    ck = tmp_path / "run" / "checkpoints"
+    # epoch 2 hit the K=3 cadence; epoch 4 (final) is the guaranteed
+    # on-exit write
+    last_meta = json.load(open(ck / "last.msgpack.json"))
+    assert last_meta["epoch"] == 4
+    best_state, _ = load_checkpoint(str(ck / "best.msgpack"))
+    assert set(best_state.keys()) == {"params"}  # weights-only
+    last_state, _ = load_checkpoint(str(ck / "last.msgpack"))
+    assert "opt_state" in last_state  # full state for resume
+
+    # resume from the rolling last restores cleanly
+    trainer2 = Trainer(
+        model, max_epochs=6, lr=2e-3, workdir=str(tmp_path / "run2"), seed=0,
+    )
+    trainer2.fit(tr, va, resume=str(ck / "last.msgpack"))
+    rows2 = [
+        json.loads(l)
+        for l in open(tmp_path / "run2" / "metrics.jsonl").read().splitlines()
+    ]
+    assert rows2[0]["epoch"] == 5 and len(rows2) == 1
+
+
 def test_early_stopping():
     from magnet_tpu.train.trainer import EarlyStopping
 
