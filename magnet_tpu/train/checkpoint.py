@@ -18,12 +18,21 @@ from flax import serialization
 
 
 def save_checkpoint(path: str, state: dict[str, Any], meta: dict[str, Any]):
+    """Atomic write: large states take seconds-to-minutes to serialize
+    (a 189M-param fno_2d state is 2.27 GB) and campaign runs are killed
+    by `timeout` — a direct open(path).write() killed mid-write leaves a
+    truncated msgpack that poisons eval/resume (observed round 4:
+    'Unpack failed: incomplete input').  Write to a sibling tmp file and
+    os.replace into place."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     state = jax.device_get(serialization.to_state_dict(state))
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(state))
-    with open(path + ".json", "w") as f:
+    os.replace(tmp, path)
+    with open(path + ".json.tmp", "w") as f:
         json.dump(meta, f)
+    os.replace(path + ".json.tmp", path + ".json")
 
 
 _WRAP_KEYS = {"inner_state", "total_notfinite", "notfinite_count",
@@ -54,6 +63,11 @@ def load_checkpoint(path: str, target: Optional[dict] = None):
                 and "opt_state" in target:
             tsd = serialization.to_state_dict(target)["opt_state"]
             state["opt_state"] = _adapt_opt_state(state["opt_state"], tsd)
+        if isinstance(state, dict) and isinstance(target, dict):
+            # tolerate a FULL-state checkpoint against a narrower target
+            # (e.g. eval loading params-only from a rolling 'last'):
+            # extra top-level keys would fail from_state_dict
+            state = {k: v for k, v in state.items() if k in target} or state
         state = serialization.from_state_dict(target, state)
     meta = {}
     if os.path.exists(path + ".json"):
@@ -94,7 +108,8 @@ class CheckpointManager:
     def _copy_best_to_last(self):
         import shutil
 
-        shutil.copyfile(self.best_path, self.last_path)
+        shutil.copyfile(self.best_path, self.last_path + ".tmp")
+        os.replace(self.last_path + ".tmp", self.last_path)
         shutil.copyfile(self.best_path + ".json", self.last_path + ".json")
 
     def save_last(self, state: dict, epoch: int, metrics: dict):

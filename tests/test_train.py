@@ -96,6 +96,13 @@ def test_ckpt_last_every_and_weights_only_best(tmp_path, f1d_train):
     assert set(best_state.keys()) == {"params"}  # weights-only
     last_state, _ = load_checkpoint(str(ck / "last.msgpack"))
     assert "opt_state" in last_state  # full state for resume
+    # atomic writes leave no tmp droppings
+    assert not glob.glob(str(ck / "*.tmp"))
+    # eval-style narrow-target load from the FULL-state rolling last
+    # (extra opt_state key must be tolerated)
+    narrow, _ = load_checkpoint(str(ck / "last.msgpack"),
+                                {"params": trainer.state["params"]})
+    assert set(narrow.keys()) == {"params"}
 
     # resume from the rolling last restores cleanly
     trainer2 = Trainer(
