@@ -67,12 +67,29 @@ def load_checkpoint(path: str, target: Optional[dict] = None):
             # tolerate a FULL-state checkpoint against a narrower target
             # (e.g. eval loading params-only from a rolling 'last'):
             # extra top-level keys would fail from_state_dict
-            state = {k: v for k, v in state.items() if k in target} or state
+            filtered = {k: v for k, v in state.items() if k in target}
+            missing = set(target) - set(filtered)
+            if filtered and missing:
+                # e.g. resuming from a best_weights_only 'best.msgpack'
+                # (params, no opt_state) — fail with a usable message
+                # instead of flax's opaque missing-key error deep inside
+                # from_state_dict
+                raise ValueError(
+                    f"checkpoint {path} lacks {sorted(missing)} required "
+                    f"by the restore target (it holds {sorted(state)}). "
+                    "If it was written with best_weights_only=true, "
+                    "resume from the rolling last.msgpack instead.")
+            state = filtered or state
         state = serialization.from_state_dict(target, state)
     meta = {}
     if os.path.exists(path + ".json"):
-        with open(path + ".json") as f:
-            meta = json.load(f)
+        try:
+            with open(path + ".json") as f:
+                meta = json.load(f)
+        except ValueError:
+            # a sidecar truncated by a mid-copy kill must not poison the
+            # (intact, atomically-written) checkpoint itself
+            meta = {}
     return state, meta
 
 
@@ -104,13 +121,20 @@ class CheckpointManager:
         self.best_path = os.path.join(dirpath, "best.msgpack")
         self.last_path = os.path.join(dirpath, "last.msgpack")
         self.last_epoch = -1
+        self._updates = 0
 
     def _copy_best_to_last(self):
         import shutil
 
+        # stage BOTH files before publishing either: a kill mid-copy must
+        # not leave a truncated sidecar (json.load would raise on resume —
+        # the exact corruption save_checkpoint's atomic writes eliminate),
+        # and the unguarded window where new weights sit next to a
+        # stale-epoch sidecar shrinks to the instant between the replaces
         shutil.copyfile(self.best_path, self.last_path + ".tmp")
+        shutil.copyfile(self.best_path + ".json", self.last_path + ".json.tmp")
         os.replace(self.last_path + ".tmp", self.last_path)
-        shutil.copyfile(self.best_path + ".json", self.last_path + ".json")
+        os.replace(self.last_path + ".json.tmp", self.last_path + ".json")
 
     def save_last(self, state: dict, epoch: int, metrics: dict):
         if self.last_epoch == epoch:
@@ -129,7 +153,11 @@ class CheckpointManager:
                       if self.best_weights_only and "params" in state
                       else state)
             save_checkpoint(self.best_path, bstate, meta)
-        if (epoch + 1) % self.last_every == 0:
+        # cadence counts update() calls (= val epochs), not absolute
+        # epochs: with check_val_every > 1 an absolute-epoch key would
+        # only fire every lcm(check_val_every, last_every) epochs
+        self._updates += 1
+        if self._updates % self.last_every == 0:
             if improved and not self.best_weights_only:
                 # identical content — host file copy, no second device pull
                 self._copy_best_to_last()

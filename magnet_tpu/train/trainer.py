@@ -116,6 +116,7 @@ class Trainer:
                                       last_every=save_last_every,
                                       best_weights_only=best_weights_only)
         self.early = EarlyStopping(patience=patience)
+        self._last_val: Optional[float] = None
         os.makedirs(workdir, exist_ok=True)
         self._metrics_f = open(os.path.join(workdir, "metrics.jsonl"), "a")
         self._tx = None
@@ -420,6 +421,7 @@ class Trainer:
                 row.update({f"val_{k}": v for k, v in vm.items()})
                 monitored = row.get("val_mae_loss", row.get("val_loss"))
                 if monitored is not None:
+                    self._last_val = float(monitored)
                     self.ckpt.update(
                         {"params": params, "opt_state": opt_state}, epoch,
                         {"val_mae_loss": monitored},
@@ -448,8 +450,12 @@ class Trainer:
         # guarantee a final rolling checkpoint for resume even when
         # save_last_every skipped the final epoch's write
         if epoch >= start_epoch and self.ckpt.last_epoch != epoch:
-            self.ckpt.save_last(self.state, epoch,
-                                {"val_mae_loss": self.early.best})
+            # record the FINAL epoch's metric (what these weights achieve),
+            # not the best-so-far; omit it entirely when no validation ran
+            # (inf would serialize as non-standard JSON 'Infinity')
+            meta = ({"val_mae_loss": self._last_val}
+                    if self._last_val is not None else {})
+            self.ckpt.save_last(self.state, epoch, meta)
         return params
 
     # ------------------------------------------------------------------
