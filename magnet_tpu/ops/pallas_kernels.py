@@ -1399,19 +1399,47 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         b_rest = jnp.zeros((1, H), jnp.float32)
     dt = pe.dtype
 
-    def kernel(ct_ref, cc_ref, fl_ref, tid_ref, pe_ref, *rest):
+    # ---- bucketed-K forward (opt-in, ledger #15 fwd experiment) -------
+    # The serial per-k gather already predicates on live windows, but a
+    # K_live<=Kb chunk can instead take the MERGED one-hot at width Kb:
+    # one (Kb*128 + tile_n)-deep matmul replaces K_live accumulating
+    # 128-deep matmuls + the separate receiver gather + the g0 zero-init
+    # and its scratch accumulate round-trips (the measured fwd limiter,
+    # ledger #14).  The all-chunk merged fwd lost at width K (0.815 vs
+    # 0.772 ms); narrow widths change the trade.  MAGNET_TPU_BUCKETK_FWD
+    # ="1,2" enables; wide chunks keep their usual path.
+    bucket_env_f = os.environ.get("MAGNET_TPU_BUCKETK_FWD", "")
+    if not hbm_table and not _ABLATE and bucket_env_f not in ("", "0"):
+        bucket_cuts_f = sorted({int(x) for x in bucket_env_f.split(",")
+                                if x.strip() and 0 < int(x) < K})
+    else:
+        bucket_cuts_f = []
+    bucket_ks_f = (bucket_cuts_f + [K]) if bucket_cuts_f else None
+    if bucket_ks_f is not None:
+        klive = jnp.sum(tids[ct, cc] >= 0, axis=-1).astype(jnp.int32)
+        kb = jnp.searchsorted(
+            jnp.asarray(bucket_cuts_f, jnp.int32), klive).astype(jnp.int32)
+    else:
+        kb = jnp.zeros((ncl,), jnp.int32)
+
+    def kernel(ct_ref, cc_ref, fl_ref, kb_ref, tid_ref, pe_ref, *rest):
         if fold:
             we_ref, be_ref = rest[:2]
             rest = rest[2:]
         (pxj_ref, pxi_ref, wr_ref, br_ref, wo_ref, bo_ref,
          ls_ref, lb_ref, sl_ref, recv_ref, mask_ref,
          out_ref, *rest) = rest
-        if emit_h0:
-            h0_ref, *rest = rest
-        if merged_oh:
-            comb_ref, *win = rest
+        if bucket_ks_f is not None:
+            if emit_h0:
+                h0_ref, *rest = rest
+            comb_ref, g0_ref, *win = rest
         else:
-            g0_ref, *win = rest
+            if emit_h0:
+                h0_ref, *rest = rest
+            if merged_oh:
+                comb_ref, *win = rest
+            else:
+                g0_ref, *win = rest
         i = pl.program_id(0)
         t = ct_ref[i]
         ec = cc_ref[i]
@@ -1421,8 +1449,7 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         def _():
             out_ref[0] = jnp.zeros((tile_n, C), jnp.float32)
 
-        @pl.when(fl_ref[i] == 1)
-        def _():
+        def _live(Kb, use_merged):
             if hbm_table:
                 # sender table stays in HBM; DMA the K referenced 128-row
                 # windows into scratch (issue all, then wait per use)
@@ -1443,15 +1470,15 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                     cps.append(cp)
             sl = sl_ref[0, 0]
             recv = recv_ref[0, 0]
-            if merged_oh:
-                # merged sender+receiver gather: copy the <=K live sender
+            if use_merged:
+                # merged sender+receiver gather: copy the <=Kb live sender
                 # tiles plus the pxi tile into one contiguous scratch and
                 # gather via ONE deep-k matmul — replaces K serial
                 # accumulating 128-deep one-hot matmuls (+ the separate
                 # receiver gather), whose VMEM accumulate round-trips and
                 # per-matmul issue dominate the kernel (ablation:
                 # construction 21% + gather matmuls 45% of fwd time)
-                for k in range(K):
+                for k in range(Kb):
                     tid = tid_ref[(t * nc + ec) * K + k]
 
                     @pl.when(tid >= 0)
@@ -1468,14 +1495,14 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                         comb_ref[pl.ds(k * 128, 128), :] = jnp.zeros(
                             (128, H), dt)
 
-                comb_ref[pl.ds(K * 128, tile_n), :] = (
+                comb_ref[pl.ds(Kb * 128, tile_n), :] = (
                     pxi_ref[0].astype(dt))
                 colsw = jax.lax.broadcasted_iota(
-                    jnp.int32, (chunk, K * 128 + tile_n), 1)
+                    jnp.int32, (chunk, Kb * 128 + tile_n), 1)
                 oh_w = jnp.logical_or(
                     colsw == sl[:, None],
-                    colsw == (K * 128 + recv)[:, None]).astype(dt)
-                gg = _dot(oh_w, comb_ref[...])          # g0 + gath fused
+                    colsw == (Kb * 128 + recv)[:, None]).astype(dt)
+                gg = _dot(oh_w, comb_ref[0:Kb * 128 + tile_n, :])
             else:
                 g0_ref[...] = jnp.zeros((chunk, Hp), jnp.float32)
                 cols128 = jax.lax.broadcasted_iota(
@@ -1544,8 +1571,23 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                     * m[None, :].astype(dt)
             out_ref[0] = out_ref[0] + _dot(oh_a, y.astype(dt))
 
+        if bucket_ks_f is None:
+            @pl.when(fl_ref[i] == 1)
+            def _():
+                _live(K, merged_oh)
+        else:
+            for bi, Kb in enumerate(bucket_ks_f):
+                wide = bi == len(bucket_ks_f) - 1
+
+                @pl.when(jnp.logical_and(fl_ref[i] == 1, kb_ref[i] == bi))
+                def _(Kb=Kb, wide=wide):
+                    # narrow branches take the merged gather (one deep
+                    # matmul, no scratch accumulates); the full-K branch
+                    # keeps the serial predicated path that wins there
+                    _live(Kb, True if not wide else merged_oh)
+
     full = lambda *shape: pl.BlockSpec(
-        shape, lambda i, ct, cc, fl, tid: (0,) * len(shape))
+        shape, lambda i, ct, cc, fl, kb, tid: (0,) * len(shape))
     pxj_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_table
                 else full(n_pad, H))
     Hp = ((H + 127) // 128) * 128 if hbm_table else H
@@ -1556,7 +1598,12 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         # at Hp and the result is sliced back to H once per chunk
         pxj = jnp.pad(pxj.reshape(n_pad // 128, 128, H),
                       ((0, 0), (0, 0), (0, Hp - H)))
-    if merged_oh:
+    if bucket_ks_f is not None:
+        # narrow branches gather through comb, the full-K branch through
+        # the serial g0 scratch — both must exist
+        scratch = [pltpu.VMEM((K * 128 + tile_n, H), dt),
+                   pltpu.VMEM((chunk, Hp), jnp.float32)]
+    elif merged_oh:
         scratch = [pltpu.VMEM((K * 128 + tile_n, H), dt)]
     else:
         scratch = [pltpu.VMEM((chunk, Hp), jnp.float32)]
@@ -1565,25 +1612,25 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                     pltpu.SemaphoreType.DMA((K,))]
     pe_spec = pl.BlockSpec(
         (1, chunk, Ce if fold else H),
-        lambda i, ct, cc, fl, tid: (ct[i], cc[i], 0))
+        lambda i, ct, cc, fl, kb, tid: (ct[i], cc[i], 0))
     fold_specs = [full(Ce, H), full(1, H)] if fold else []
     fold_args = [we, be2] if fold else []
     out_shape = jax.ShapeDtypeStruct((T, tile_n, C), jnp.float32)
     out_specs = pl.BlockSpec((1, tile_n, C),
-                             lambda i, ct, cc, fl, tid: (ct[i], 0, 0))
+                             lambda i, ct, cc, fl, kb, tid: (ct[i], 0, 0))
     if emit_h0:
         out_shape = (out_shape, jax.ShapeDtypeStruct((T, E, H), dt))
         out_specs = (out_specs,
                      pl.BlockSpec((1, chunk, H),
-                                  lambda i, ct, cc, fl, tid:
+                                  lambda i, ct, cc, fl, kb, tid:
                                   (ct[i], cc[i], 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(ncl,),
         in_specs=[pe_spec] + fold_specs + [
             pxj_spec,                                        # pxj table
             pl.BlockSpec((1, tile_n, H),
-                         lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
+                         lambda i, ct, cc, fl, kb, tid: (ct[i], 0, 0)),
             full(max(L1, 1), H, H),
             full(max(L1, 1), H),
             full(H, C),
@@ -1591,11 +1638,11 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             full(1, C),
             full(1, C),
             pl.BlockSpec((1, 1, chunk),
-                         lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
+                         lambda i, ct, cc, fl, kb, tid: (ct[i], 0, cc[i])),
             pl.BlockSpec((1, 1, chunk),
-                         lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
+                         lambda i, ct, cc, fl, kb, tid: (ct[i], 0, cc[i])),
             pl.BlockSpec((1, 1, chunk),
-                         lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
+                         lambda i, ct, cc, fl, kb, tid: (ct[i], 0, cc[i])),
         ],
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -1611,7 +1658,7 @@ def _fused2r_fwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             bytes_accessed=4 * (T * E * H + n_pad * H + T * tile_n * H),
             transcendentals=0,
         ),
-    )(ct, cc, flag, tids.reshape(-1), pe, *fold_args, pxj, pxi, w_rest, b_rest,
+    )(ct, cc, flag, kb, tids.reshape(-1), pe, *fold_args, pxj, pxi, w_rest, b_rest,
       w_out, b_out2, ln_s2, ln_b2, sl3, recv3, mask3)
 
 
@@ -1672,7 +1719,35 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             preferred_element_type=jnp.float32,
         )
 
-    def kernel(ct_ref, cc_ref, fl_ref, tid_ref, pe_ref, *rest):
+    # ---- bucketed-K backward (ledger #15) -----------------------------
+    # 73% of the bench graph's live chunks reference <= 2 sender tiles
+    # (54% exactly one) yet every chunk pays the STATIC K widths in the
+    # merged one-hot machinery: the (chunk, K*128) oh_s construction, the
+    # (K*128 + tile_n)-deep merged gather matmul, the (chunk, K*128)^T
+    # d_pxj transpose matmul, and K-cycle window copies.  Live sender
+    # tiles are packed FIRST in tids (ops/graph.py:_snd2_layout — so a
+    # chunk with K_live <= Kb only references windows [0, Kb) and its
+    # sl < Kb*128): per-chunk pl.when branches specialized at width Kb
+    # cut those MACs ~K/Kb x.  The branch index is scalar-prefetched so
+    # the (cheap, jit-traced) bucket classification stays outside the
+    # kernel.  MAGNET_TPU_BUCKETK="1,2" (default) adds Kb in {1,2}
+    # branches ahead of the full-K one; "0" disables.  VMEM merged-oh
+    # lane only (the hbm/no-merge lanes already predicate per-window).
+    bucket_env = os.environ.get("MAGNET_TPU_BUCKETK", "1,2")
+    if merged_oh and not hbm_table and bucket_env not in ("", "0"):
+        bucket_cuts = sorted({int(x) for x in bucket_env.split(",")
+                              if x.strip() and 0 < int(x) < K})
+    else:
+        bucket_cuts = []
+    bucket_ks = (bucket_cuts + [K]) if bucket_cuts else None
+    if bucket_ks is not None:
+        klive = jnp.sum(tids[ct, cc] >= 0, axis=-1).astype(jnp.int32)
+        kb = jnp.searchsorted(
+            jnp.asarray(bucket_cuts, jnp.int32), klive).astype(jnp.int32)
+    else:
+        kb = jnp.zeros((ncl,), jnp.int32)
+
+    def kernel(ct_ref, cc_ref, fl_ref, kb_ref, tid_ref, pe_ref, *rest):
         if fold:
             we_ref, be_ref = rest[:2]
             rest = rest[2:]
@@ -1720,8 +1795,9 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
         def _():
             dz_ref[0] = jnp.zeros((chunk, Ce), dz_dt)
 
-        @pl.when(fl_ref[i] == 1)
-        def _():
+        def _live(Kb):
+            # Kb: the bucketed one-hot width for this branch (== K when
+            # bucketing is off).  tid_ref strides stay at the STATIC K.
             sl = sl_ref[0, 0]
             cols128 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
             recv = recv_ref[0, 0]
@@ -1732,7 +1808,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                 # sender-only merged one-hot, shared by the recompute
                 # (concat with oh_g) and the d_pxj transpose scatter
                 colss = jax.lax.broadcasted_iota(
-                    jnp.int32, (chunk, K * 128), 1)
+                    jnp.int32, (chunk, Kb * 128), 1)
                 oh_s = (colss == sl[:, None]).astype(dt)
             if use_h0:
                 h = h0_ref[0]
@@ -1740,7 +1816,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                 if hbm_table:
                     win_ref, sem = win
                     cps = []
-                    for k in range(K):
+                    for k in range(Kb):
                         tid = tid_ref[(t * nc + ec) * K + k]
                         cp = pltpu.make_async_copy(
                             pxj_ref.at[jnp.maximum(tid, 0)],
@@ -1754,7 +1830,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
 
                         cps.append(cp)
                 if merged_oh:
-                    for k in range(K):
+                    for k in range(Kb):
                         tid = tid_ref[(t * nc + ec) * K + k]
 
                         @pl.when(tid >= 0)
@@ -1768,17 +1844,17 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                             comb_ref[pl.ds(k * 128, 128), :] = jnp.zeros(
                                 (128, H), dt)
 
-                    comb_ref[pl.ds(K * 128, tile_n), :] = (
+                    comb_ref[pl.ds(Kb * 128, tile_n), :] = (
                         pxi_ref[0].astype(dt))
                     if not dpxj_in_kernel:
                         colss = jax.lax.broadcasted_iota(
-                            jnp.int32, (chunk, K * 128), 1)
+                            jnp.int32, (chunk, Kb * 128), 1)
                         oh_s = (colss == sl[:, None]).astype(dt)
                     oh_w = jnp.concatenate([oh_s, oh_g], axis=1)
-                    gg = _dot(oh_w, comb_ref[...])
+                    gg = _dot(oh_w, comb_ref[0:Kb * 128 + tile_n, :])
                 else:
                     g0_ref[...] = jnp.zeros((chunk, Hp), jnp.float32)
-                    for k in range(K):
+                    for k in range(Kb):
                         tid = tid_ref[(t * nc + ec) * K + k]
 
                         @pl.when(tid >= 0)
@@ -1862,8 +1938,8 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                     # one deep-k transpose matmul over the merged sender
                     # one-hot, then per-window VMEM adds (dead windows'
                     # rows are zero — sl never points at them)
-                    tmp = _dot_t(oh_s, d_hc)              # (K*128, H) f32
-                    for k in range(K):
+                    tmp = _dot_t(oh_s, d_hc)              # (Kb*128, H) f32
+                    for k in range(Kb):
                         tid = tid_ref[(t * nc + ec) * K + k]
 
                         @pl.when(tid >= 0)
@@ -1873,7 +1949,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                                 dpxj_ref[sli, :]
                                 + tmp[k * 128:(k + 1) * 128, :])
                 else:
-                    for k in range(K):
+                    for k in range(Kb):
                         tid = tid_ref[(t * nc + ec) * K + k]
 
                         @pl.when(tid >= 0)
@@ -1897,8 +1973,18 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
             dls_ref[...] = dls_ref[...] + dls
             dlb_ref[...] = dlb_ref[...] + dlb
 
+        if bucket_ks is None:
+            @pl.when(fl_ref[i] == 1)
+            def _():
+                _live(K)
+        else:
+            for bi, Kb in enumerate(bucket_ks):
+                @pl.when(jnp.logical_and(fl_ref[i] == 1, kb_ref[i] == bi))
+                def _(Kb=Kb):
+                    _live(Kb)
+
     full = lambda *shape: pl.BlockSpec(
-        shape, lambda i, ct, cc, fl, tid: (0,) * len(shape))
+        shape, lambda i, ct, cc, fl, kb, tid: (0,) * len(shape))
     outs = (
         jax.ShapeDtypeStruct((T, E, Ce), dz_dt),             # d_z / d_e0
         jax.ShapeDtypeStruct((T, tile_n, H), jnp.float32),   # d_pxi
@@ -1911,9 +1997,9 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
     )
     out_specs = (
         pl.BlockSpec((1, chunk, Ce),
-                     lambda i, ct, cc, fl, tid: (ct[i], cc[i], 0)),
+                     lambda i, ct, cc, fl, kb, tid: (ct[i], cc[i], 0)),
         pl.BlockSpec((1, tile_n, H),
-                     lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
+                     lambda i, ct, cc, fl, kb, tid: (ct[i], 0, 0)),
         full(max(L1, 1), H, H),
         full(max(L1, 1), H),
         full(H, C),
@@ -1956,33 +2042,33 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                     pltpu.SemaphoreType.DMA((K,))]
     pe_spec = pl.BlockSpec(
         (1, chunk, Ce if fold else H),
-        lambda i, ct, cc, fl, tid: (ct[i], cc[i], 0))
+        lambda i, ct, cc, fl, kb, tid: (ct[i], cc[i], 0))
     fold_specs = [full(Ce, H), full(1, H)] if fold else []
     fold_args = [we, be2] if fold else []
     h0_specs = [pl.BlockSpec(
         (1, chunk, H),
-        lambda i, ct, cc, fl, tid: (ct[i], cc[i], 0))] if use_h0 else []
+        lambda i, ct, cc, fl, kb, tid: (ct[i], cc[i], 0))] if use_h0 else []
     h0_args = [h0] if use_h0 else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(ncl,),
         in_specs=[pe_spec] + fold_specs + [
             pxj_spec,
             pl.BlockSpec((1, tile_n, H),
-                         lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
+                         lambda i, ct, cc, fl, kb, tid: (ct[i], 0, 0)),
             full(max(L1, 1), H, H),
             full(max(L1, 1), H),
             full(H, C),
             full(1, C),
             full(1, C),
             pl.BlockSpec((1, 1, chunk),
-                         lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
+                         lambda i, ct, cc, fl, kb, tid: (ct[i], 0, cc[i])),
             pl.BlockSpec((1, 1, chunk),
-                         lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
+                         lambda i, ct, cc, fl, kb, tid: (ct[i], 0, cc[i])),
             pl.BlockSpec((1, 1, chunk),
-                         lambda i, ct, cc, fl, tid: (ct[i], 0, cc[i])),
+                         lambda i, ct, cc, fl, kb, tid: (ct[i], 0, cc[i])),
             pl.BlockSpec((1, tile_n, C),
-                         lambda i, ct, cc, fl, tid: (ct[i], 0, 0)),
+                         lambda i, ct, cc, fl, kb, tid: (ct[i], 0, 0)),
         ] + h0_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -2000,7 +2086,7 @@ def _fused2r_bwd_pallas(pe, pxj, pxi, w_rest, b_rest, w_out, b_out,
                                 + T * tile_n * (H + C)),
             transcendentals=0,
         ),
-    )(ct, cc, flag, tids.reshape(-1), pe, *fold_args, pxj, pxi, w_rest, b_rest,
+    )(ct, cc, flag, kb, tids.reshape(-1), pe, *fold_args, pxj, pxi, w_rest, b_rest,
       w_out, b_out2, ln_s2, sl3, recv3, mask3, g, *h0_args)
     dz, dpxi, dwr, dbr, dwo, dbo, dls, dlb = res[:8]
     res = res[8:]
