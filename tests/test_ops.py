@@ -1249,3 +1249,58 @@ def test_interaction_network_fused2_hbm_h0_snd2_only():
             np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4),
         g1, g2,
     )
+
+
+@pytest.mark.parametrize("bucketk", ["0", "1,2", "2,3"])
+def test_fused2r_bucketed_bwd_matches_ref(monkeypatch, bucketk):
+    """Bucketed-K backward (ledger #15): per-chunk width-specialized
+    branches must be bit-equivalent to the single-width kernel for every
+    cut configuration.  K=4 with random K_live in [1, 4] exercises every
+    branch, including chunks whose K_live is strictly below the branch
+    width (zero-padded windows)."""
+    from magnet_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(77)
+    a = _fused2_args(rng, T=2, nc=3, chunk=128, H=64, C=64, L1=1, n=700, K=4)
+    ct, cc, fl = _chunk_list_args(a)
+    order = ("pe", "pxj", "pxi", "wr", "br", "wo", "bo", "ls", "lb")
+    g = jnp.asarray(rng.normal(size=(2, 128, 64)).astype(np.float32))
+
+    def ref_loss(*p):
+        return jnp.sum(pk._fused2_ref_impl(
+            *p, a["tids"], a["sl"], a["recv"], a["mask"]) * g)
+
+    want = jax.grad(ref_loss, argnums=tuple(range(9)))(
+        *[a[k] for k in order])
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("MAGNET_TPU_BUCKETK", bucketk)
+    got = pk._fused2r_bwd_pallas(
+        *[a[k] for k in order], a["tids"], a["sl"], a["recv"], a["mask"],
+        ct, cc, fl, g, dpxj_in_kernel=True)
+    names = ("pe", "pxi", "wr", "br", "wo", "bo", "ls", "lb")
+    want_sel = (want[0], want[2], want[3], want[4], want[5], want[6],
+                want[7], want[8])
+    for name, w, h in zip(names, want_sel, got[:8]):
+        np.testing.assert_allclose(np.asarray(h), np.asarray(w), rtol=1e-3,
+                                   atol=1e-4, err_msg=name)
+    np.testing.assert_allclose(np.asarray(got[8]), np.asarray(want[1]),
+                               rtol=1e-3, atol=1e-4, err_msg="pxj")
+
+
+@pytest.mark.parametrize("bucketk_fwd", ["1,2", "3"])
+def test_fused2r_bucketed_fwd_matches_ref(monkeypatch, bucketk_fwd):
+    """Opt-in bucketed forward (narrow chunks take the merged one-hot at
+    width Kb) must match the reference for every cut configuration."""
+    from magnet_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(78)
+    a = _fused2_args(rng, T=2, nc=3, chunk=128, H=64, C=64, L1=1, n=700, K=4)
+    ct, cc, fl = _chunk_list_args(a)
+    args = (a["pe"], a["pxj"], a["pxi"], a["wr"], a["br"], a["wo"], a["bo"],
+            a["ls"], a["lb"], a["tids"], a["sl"], a["recv"], a["mask"])
+    ref = pk._fused2_ref_impl(*args)
+    monkeypatch.setenv("MAGNET_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("MAGNET_TPU_BUCKETK_FWD", bucketk_fwd)
+    out = pk._fused2r_fwd_pallas(*args, ct, cc, fl)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
