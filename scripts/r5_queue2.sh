@@ -47,6 +47,17 @@ B1T32=data/B1/burgers_test_B1_32.h5
 B2T=data/B2/burgers_test_B2_64.h5
 REG=data/1d/E1/regular
 
+# ---- 0) seed-10 mpnn_2d B1-64: finish the 3rd seed of the 2D cell ----------
+MPNN2D=(model=mpnn_2d datamodule=h5_datamodule_graph_2d
+  datamodule.train_path=data/B1/burgers_train_B1_64.h5
+  datamodule.val_path=$B1T datamodule.test_path=$B1T
+  datamodule.nt_train=50 datamodule.res_train=64
+  datamodule.nt_val=50 datamodule.res_val=64
+  datamodule.nt_test=50 datamodule.res_test=64
+  datamodule.batch_size=4 model.params.time_window=10)
+run seed10_mpnn_2d_b1_64 7200 10 "${MPNN2D[@]}" trainer.max_epochs=250
+ev seed10_mpnn_2d_b1_64 "${MPNN2D[@]}"
+
 # ---- 1) fno_2d B1/B2 to the full 250-epoch budget --------------------------
 FNO_ARGS=(model=fno_2d datamodule=h5_datamodule_2d
   datamodule.nt_train=50 datamodule.res_train=64
